@@ -1,0 +1,18 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform so
+data-parallel sharding logic is exercised without TPU hardware
+(SURVEY.md §4). Must run before the first jax import."""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
