@@ -1,0 +1,83 @@
+"""Minimal functional NN primitives shared by flows and models.
+
+Models are plain pytrees (nested dicts of jnp arrays) with pure
+``init(key, ...) -> params`` / ``apply(params, x) -> y`` functions — the
+idiomatic JAX shape for vmapping whole model families (e.g. stacking the 8
+occlusion completers or the 8 flow blocks on a leading axis).
+
+Initialization matches torch.nn.Linear defaults (kaiming-uniform with
+a=sqrt(5) reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and
+bias) so training trajectories are comparable with the reference.
+
+Mixed precision: TPU MXU natively multiplies bf16 with f32 accumulation.
+``dense`` casts activations/weights to a compute dtype and requests f32
+accumulation via ``preferred_element_type`` — params stay f32 (the
+TPU-native analogue of the reference's PL ``precision=16``,
+train_left_right_lifter.py:555, without loss scaling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class Policy:
+    """Dtype policy: params in ``param_dtype``, matmuls in ``compute_dtype``
+    with f32 accumulation, outputs back in ``output_dtype``."""
+
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    output_dtype: jnp.dtype = jnp.float32
+
+
+F32 = Policy()
+BF16 = Policy(compute_dtype=jnp.bfloat16)
+
+
+def init_linear(key, fan_in: int, fan_out: int, dtype=jnp.float32):
+    """torch.nn.Linear-default initialization. Weight stored (fan_in, fan_out)
+    so forward is x @ w (row-major batch on the MXU)."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / math.sqrt(fan_in)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), dtype, -bound, bound),
+        "b": jax.random.uniform(kb, (fan_out,), dtype, -bound, bound),
+    }
+
+
+def dense(params, x, policy: Policy = F32):
+    """y = x @ w + b under the dtype policy (bf16 multiply / f32 accumulate
+    when policy.compute_dtype == bf16)."""
+    w = params["w"].astype(policy.compute_dtype)
+    xc = x.astype(policy.compute_dtype)
+    y = jnp.dot(xc, w, preferred_element_type=jnp.float32)
+    return (y + params["b"]).astype(policy.output_dtype)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    """torch default LeakyReLU (reference models_def.py:28)."""
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+def init_layernorm(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layernorm(params, x, eps: float = 1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * params["scale"] + params["bias"]
+
+
+def dropout(key: Optional[jax.Array], x, rate: float, deterministic: bool):
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
