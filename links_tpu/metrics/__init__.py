@@ -1,0 +1,158 @@
+"""On-device batched pose metrics.
+
+The reference computes PA-MPJPE with a per-sample numpy Procrustes loop on
+the CPU (utils/metrics.py:62-171, called from e.g. eval_h36m.py:86-93 and
+train_left_right_lifter.py:477-489) — the single biggest perf cliff in the
+reference (SURVEY.md §3.2). Here the whole test set is one vmapped SVD batch
+on device.
+
+Two Procrustes variants are reproduced:
+  * ``pa_mpjpe``: MATLAB-style similarity alignment with reflection='best'
+    (reflection allowed if it fits better), matching utils/metrics.py
+    semantics used for every headline PA-MPJPE number.
+  * ``procrustes_batch``: the torch batched variant (utils/metrics_batch.py:
+    116-158) with the det-sign trick that *disallows* reflection.
+
+N-MPJPE / PCK / AUC / CPS match utils/metrics_batch.py exactly (including
+its 150-step AUC sweep and the 31-step sweep inside ``get_all``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _center_scale(p_ref, p, root_joint, num_joints, use_scaling):
+    p = p.reshape(-1, 3, num_joints)
+    p_ref = p_ref.reshape(-1, 3, num_joints)
+    p = p - p[:, :, root_joint : root_joint + 1]
+    p_ref = p_ref - p_ref[:, :, root_joint : root_joint + 1]
+    if use_scaling:
+        flat = p.reshape(p.shape[0], -1)
+        flat_ref = p_ref.reshape(p.shape[0], -1)
+        scale = jnp.linalg.norm(flat_ref, axis=1, keepdims=True) / (
+            jnp.linalg.norm(flat, axis=1, keepdims=True)
+        )
+        p = (flat * scale).reshape(-1, 3, num_joints)
+    return p_ref, p
+
+
+def n_mpjpe(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
+    """Norm-scaled MPJPE (utils/metrics_batch.py:8-24). Returns (B,)."""
+    p_ref, p = _center_scale(p_ref, p, root_joint, num_joints, use_scaling)
+    return jnp.linalg.norm(p - p_ref, axis=1).mean(axis=1)
+
+
+# Alias mirroring the reference's method name (mb().mpjpe).
+mpjpe_scaled = n_mpjpe
+
+
+def pck(p_ref, p, use_scaling=True, root_joint=0, num_joints=17, thresh=150.0):
+    """Percentage of correct keypoints at `thresh` mm
+    (utils/metrics_batch.py:26-42). Returns a scalar percentage."""
+    p_ref, p = _center_scale(p_ref, p, root_joint, num_joints, use_scaling)
+    dist = jnp.linalg.norm(p - p_ref, axis=1)
+    return (dist < thresh).sum() / (p_ref.shape[0] * num_joints) * 100.0
+
+
+def auc(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
+    """AUC of PCK over thresholds linspace(0, 150, 150)
+    (utils/metrics_batch.py:44-64). Returns a scalar in [0, 1]."""
+    p_ref, p = _center_scale(p_ref, p, root_joint, num_joints, use_scaling)
+    dist = jnp.linalg.norm(p - p_ref, axis=1)
+    ts = jnp.linspace(0.0, 150.0, 150)
+    below = dist[None] < ts[:, None, None]
+    return below.sum() / (dist.shape[0] * dist.shape[1] * 150)
+
+
+def get_all(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
+    """MPJPE / PCK / AUC / CPS bundle (utils/metrics_batch.py:66-102).
+    CPS reproduces the reference's (flagged-as-incorrect) un-aligned sweep."""
+    p_ref_c, p_c = _center_scale(p_ref, p, root_joint, num_joints, use_scaling)
+    dist = jnp.linalg.norm(p_c - p_ref_c, axis=1)
+    out = {"MPJPE": dist.mean()}
+    out["PCK"] = (dist < 150.0).sum() / (dist.shape[0] * num_joints) * 100.0
+    ts = jnp.linspace(0.0, 150.0, 31)
+    out["AUC"] = (dist[None] < ts[:, None, None]).sum() / (
+        dist.shape[0] * dist.shape[1] * 31
+    ) * 100.0
+    ds = jnp.linspace(0.0, 300.0, 301)
+    cp = ((dist[None] > ds[:, None, None]).sum(axis=2) < 1).sum(axis=1) / dist.shape[0]
+    out["CPS"] = cp.sum()
+    return out
+
+
+def _procrustes_align_best(X, Y):
+    """MATLAB-procrustes similarity transform of one pose pair, reflection
+    allowed (utils/metrics.py:62-171). X, Y: (J, 3); returns Z = aligned Y."""
+    muX = X.mean(0)
+    muY = Y.mean(0)
+    X0 = X - muX
+    Y0 = Y - muY
+    normX = jnp.sqrt((X0**2).sum())
+    normY = jnp.sqrt((Y0**2).sum())
+    X0 = X0 / normX
+    Y0 = Y0 / normY
+    A = X0.T @ Y0
+    U, s, Vt = jnp.linalg.svd(A, full_matrices=False)
+    T = Vt.T @ U.T
+    traceTA = s.sum()
+    return normX * traceTA * (Y0 @ T) + muX
+
+
+def pa_mpjpe(p_ref, p, num_joints=17):
+    """Batched PA-MPJPE with reflection='best' — the reference's headline
+    metric (eval_h36m.py:86-93). Inputs (B, 3·J) in the (3, J) flat layout;
+    returns per-sample errors (B,). The SVD runs vmapped on device instead
+    of a per-sample numpy loop."""
+    X = p_ref.reshape(-1, 3, num_joints).transpose(0, 2, 1)  # (B, J, 3)
+    Y = p.reshape(-1, 3, num_joints).transpose(0, 2, 1)
+    Z = jax.vmap(_procrustes_align_best)(X, Y)
+    return jnp.linalg.norm(Z - X, axis=2).mean(axis=1)
+
+
+def procrustes_batch(poses_inp, template_poses, use_reflection=False, use_scaling=True):
+    """Batched torch-variant Procrustes (utils/metrics_batch.py:116-158):
+    aligns ``poses_inp`` (B,3,J) to ``template_poses``; reflection disallowed
+    unless ``use_reflection`` (det-sign trick)."""
+    num_joints = poses_inp.shape[-1]
+    t_mu = template_poses.mean(axis=2, keepdims=True)
+    t0 = template_poses - t_mu
+    scale_t = jnp.sqrt((t0**2).sum(axis=(1, 2), keepdims=True) / (3 * num_joints))
+    t0 = t0 / scale_t
+    p_mu = poses_inp.mean(axis=2, keepdims=True)
+    p0 = poses_inp - p_mu
+    scale_p = jnp.sqrt((p0**2).sum(axis=(1, 2), keepdims=True) / (3 * num_joints))
+    p0 = p0 / scale_p
+    U, S, Vt = jnp.linalg.svd(jnp.matmul(t0, p0.transpose(0, 2, 1)))
+    R = jnp.matmul(U, Vt)
+    if not use_reflection:
+        det = jnp.linalg.det(R)
+        Z = jnp.broadcast_to(jnp.eye(3), R.shape).copy()
+        Z = Z.at[:, -1, -1].multiply(det)
+        R = jnp.matmul(Z, R)
+    pa = jnp.matmul(R, p0)
+    if use_scaling:
+        pa = pa * scale_t
+    return pa + t_mu
+
+
+def pmpjpe_batch(p_ref, p, use_reflection=False, num_joints=17):
+    """Batched PMPJPE via the torch-variant Procrustes
+    (utils/metrics_batch.py:104-114). Returns (B,)."""
+    p = p.reshape(-1, 3, num_joints)
+    p_ref = p_ref.reshape(-1, 3, num_joints)
+    aligned = procrustes_batch(p, p_ref, use_reflection=use_reflection)
+    return jnp.linalg.norm(p_ref - aligned, axis=1).mean(axis=1)
+
+
+def mpjpe_single(p_ref, p, scale=False, mean_align=False):
+    """Per-sample MPJPE on (3, J) poses (utils/metrics.py:8-33)."""
+    if mean_align:
+        p = p - p.mean(axis=1, keepdims=True)
+        p_ref = p_ref - p_ref.mean(axis=1, keepdims=True)
+    if scale:
+        s = jnp.linalg.norm(p_ref.reshape(-1)) / jnp.linalg.norm(p.reshape(-1))
+        p = p * s
+    return jnp.linalg.norm(p - p_ref, axis=0).mean()

@@ -1,0 +1,113 @@
+import jax.numpy as jnp
+import numpy as np
+
+from links_tpu import metrics
+
+
+def _np_procrustes_best(X, Y):
+    """f64 numpy MATLAB-procrustes (reflection='best'), independent check."""
+    muX, muY = X.mean(0), Y.mean(0)
+    X0, Y0 = X - muX, Y - muY
+    normX = np.sqrt((X0**2).sum())
+    normY = np.sqrt((Y0**2).sum())
+    X0, Y0 = X0 / normX, Y0 / normY
+    U, s, Vt = np.linalg.svd(X0.T @ Y0, full_matrices=False)
+    T = Vt.T @ U.T
+    return normX * s.sum() * (Y0 @ T) + muX
+
+
+def _poses(rng, b=32, scale=1000.0):
+    gt = rng.normal(size=(b, 3, 17)) * scale
+    # predictions: rotated+scaled+noised copies of gt
+    pred = gt * 1.1 + rng.normal(size=(b, 3, 17)) * scale * 0.05
+    return gt.astype(np.float32), pred.astype(np.float32)
+
+
+def test_pa_mpjpe_matches_numpy_loop(rng):
+    gt, pred = _poses(rng)
+    got = np.asarray(metrics.pa_mpjpe(jnp.asarray(gt.reshape(-1, 51)), jnp.asarray(pred.reshape(-1, 51))))
+    want = []
+    for i in range(gt.shape[0]):
+        X = gt[i].astype(np.float64).T  # (17, 3)
+        Y = pred[i].astype(np.float64).T
+        Z = _np_procrustes_best(X, Y)
+        want.append(np.linalg.norm(Z - X, axis=1).mean())
+    np.testing.assert_allclose(got, np.array(want), rtol=2e-4, atol=0.05)
+
+
+def test_pa_mpjpe_invariant_to_similarity_transform(rng):
+    gt, _ = _poses(rng, b=8)
+    # pred = rotated, scaled, translated copy of gt => PA-MPJPE ~ 0
+    th = 0.7
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]]
+    )
+    pred = (R @ gt * 2.5) + np.array([100.0, -50.0, 30.0]).reshape(1, 3, 1)
+    err = np.asarray(
+        metrics.pa_mpjpe(jnp.asarray(gt.reshape(-1, 51)), jnp.asarray(pred.reshape(-1, 51).astype(np.float32)))
+    )
+    assert err.max() < 0.5  # mm, vs poses of ~1000mm extent
+
+
+def test_pa_mpjpe_uses_reflection_when_better(rng):
+    gt, _ = _poses(rng, b=4)
+    pred = gt.copy()
+    pred[:, 0] *= -1  # mirror
+    err = np.asarray(
+        metrics.pa_mpjpe(jnp.asarray(gt.reshape(-1, 51)), jnp.asarray(pred.reshape(-1, 51)))
+    )
+    assert err.max() < 0.5  # reflection='best' recovers the mirror exactly
+
+
+def test_n_mpjpe_matches_manual(rng):
+    gt, pred = _poses(rng)
+    got = np.asarray(metrics.n_mpjpe(jnp.asarray(gt), jnp.asarray(pred)))
+    g = gt - gt[:, :, 0:1]
+    p = pred - pred[:, :, 0:1]
+    s = np.linalg.norm(g.reshape(-1, 51), axis=1) / np.linalg.norm(p.reshape(-1, 51), axis=1)
+    p = p * s[:, None, None]
+    want = np.linalg.norm(p - g, axis=1).mean(axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_pck_auc_bounds(rng):
+    gt, pred = _poses(rng)
+    p_ref, p = jnp.asarray(gt), jnp.asarray(pred)
+    pck = float(metrics.pck(p_ref, p))
+    auc = float(metrics.auc(p_ref, p))
+    assert 0.0 <= pck <= 100.0
+    assert 0.0 <= auc <= 1.0
+    # identical poses: perfect scores
+    assert float(metrics.pck(p_ref, p_ref)) == 100.0
+    a = float(metrics.auc(p_ref, p_ref))
+    assert a > 0.99  # threshold 0 excluded contributes ~1/150
+
+
+def test_get_all_keys(rng):
+    gt, pred = _poses(rng)
+    out = metrics.get_all(jnp.asarray(gt), jnp.asarray(pred))
+    assert set(out) == {"MPJPE", "PCK", "AUC", "CPS"}
+
+
+def test_procrustes_batch_no_reflection(rng):
+    gt, _ = _poses(rng, b=4)
+    pred = gt.copy()
+    pred[:, 0] *= -1  # mirrored prediction
+    err_norefl = np.asarray(
+        metrics.pmpjpe_batch(jnp.asarray(gt.reshape(-1, 51)), jnp.asarray(pred.reshape(-1, 51)))
+    )
+    err_refl = np.asarray(
+        metrics.pmpjpe_batch(
+            jnp.asarray(gt.reshape(-1, 51)), jnp.asarray(pred.reshape(-1, 51)), use_reflection=True
+        )
+    )
+    # without reflection the mirror cannot be aligned away
+    assert err_norefl.min() > 10.0
+    assert err_refl.max() < 1.0
+
+
+def test_mpjpe_single(rng):
+    gt, pred = _poses(rng, b=1)
+    got = float(metrics.mpjpe_single(jnp.asarray(gt[0]), jnp.asarray(pred[0])))
+    want = np.linalg.norm(pred[0] - gt[0], axis=0).mean()
+    np.testing.assert_allclose(got, want, rtol=1e-5)
