@@ -1,0 +1,75 @@
+"""Stage configurations. Defaults mirror the reference's hard-coded
+constants and argparse flags (SURVEY.md §2.9): lr=0.0002, Adam wd=1e-5,
+ExponentialLR gamma=0.95 per epoch, batch 256 (4·64 for the full-pose flow),
+100 epochs (10 for occlusion models), loss weights bl=50 / translation=10 /
+rep2d=rot3d=velocity=likelihood=1 (train_left_right_lifter.py:21-35,42-57;
+train_occlusion_models.py:51-53)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-5
+    lr_gamma: float = 0.95  # per-epoch exponential decay
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowTrainConfig:
+    """Stages 1-2 (train_full_pose_norm_flow.py:31-36,
+    train_leg_torso_left_right_norm_flow.py:37-44)."""
+
+    num_keypoints: int = 34
+    batch_size: int = 4 * 64
+    n_epochs: int = 100
+    noise_factor: float = 0.2
+    optim: OptimConfig = OptimConfig()
+    bf16: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class PartFlowTrainConfig:
+    """Stage 2 (train_leg_torso_left_right_norm_flow.py:37-44)."""
+
+    side_keypoints: int = 22
+    leg_keypoints: int = 14
+    torso_keypoints: int = 20
+    batch_size: int = 256
+    n_epochs: int = 100
+    noise_factor: float = 0.2
+    optim: OptimConfig = OptimConfig()
+    bf16: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class LifterTrainConfig:
+    """Stage 3 (train_left_right_lifter.py:42-57; identical for
+    train_leg_torso_lifter.py:44-58)."""
+
+    batch_size: int = 256
+    n_epochs: int = 100
+    depth: float = 10.0  # --translation
+    use_elevation: bool = True
+    weight_bl: float = 50.0  # --bl
+    weight_2d: float = 1.0  # --rep2d
+    weight_3d: float = 1.0  # --rot3d
+    weight_velocity: float = 1.0  # --velocity
+    weight_likeli: float = 1.0  # --likelihood
+    noise_factor: float = 0.2
+    use_gt: bool = True
+    optim: OptimConfig = OptimConfig()
+    bf16: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class OcclusionTrainConfig:
+    """Stage 4 (train_occlusion_models.py:51-63)."""
+
+    batch_size: int = 256
+    n_epochs: int = 10
+    depth: float = 10.0
+    optim: OptimConfig = OptimConfig()
+    bf16: bool = True

@@ -1,0 +1,169 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from links_tpu import flows, models, train
+from links_tpu.config import (
+    FlowTrainConfig,
+    LifterTrainConfig,
+    OcclusionTrainConfig,
+    OptimConfig,
+    PartFlowTrainConfig,
+)
+from links_tpu.objectives import LifterFrozen
+
+HID = 32
+
+
+def _poses(rng, n=64):
+    p = rng.normal(size=(n, 2, 17)).astype(np.float32) * 0.1
+    p[:, :, 0] = 0.0
+    return jnp.asarray(p.reshape(n, 34))
+
+
+def test_optimizer_matches_torch_adam_l2():
+    """One optax step == torch Adam(weight_decay) on a quadratic."""
+    torch = __import__("torch")
+    w0 = np.array([1.0, -2.0, 3.0], dtype=np.float32)
+    g = np.array([0.1, 0.2, -0.3], dtype=np.float32)
+
+    tw = torch.tensor(w0, requires_grad=True)
+    opt = torch.optim.Adam([tw], lr=2e-4, weight_decay=1e-5)
+    tw.grad = torch.tensor(g)
+    opt.step()
+
+    optimizer = train.make_optimizer(OptimConfig(), steps_per_epoch=100)
+    state = optimizer.init(jnp.asarray(w0))
+    updates, _ = optimizer.update(jnp.asarray(g), state, jnp.asarray(w0))
+    w1 = np.asarray(jnp.asarray(w0) + updates)
+    np.testing.assert_allclose(w1, tw.detach().numpy(), rtol=1e-5, atol=1e-7)
+
+
+def test_lr_schedule_staircase():
+    import optax
+
+    optimizer = train.make_optimizer(OptimConfig(), steps_per_epoch=10)
+    params = jnp.zeros((3,))
+    state = optimizer.init(params)
+    g = jnp.ones((3,))
+    lrs = []
+    for i in range(25):
+        updates, state = optimizer.update(g, state, params)
+        lrs.append(float(jnp.abs(updates).mean()))
+    # epochs 0,1,2 -> ratio ~0.95 between them (adam scale steady on const grad)
+    assert abs(lrs[15] / lrs[5] - 0.95) < 0.01
+    assert abs(lrs[22] / lrs[12] - 0.95) < 0.01
+
+
+def test_full_flow_training_reduces_nll(rng):
+    cfg = FlowTrainConfig(bf16=False)
+    flow = flows.init_flow(jax.random.PRNGKey(0), 34, hidden=128)
+    optimizer = train.make_optimizer(cfg.optim, steps_per_epoch=4)
+    step = train.build_full_flow_step(flow.perm, optimizer, cfg)
+    state = train.init_state(flow.params, optimizer)
+    data = _poses(rng, 256)
+    key = jax.random.PRNGKey(1)
+    first = None
+    jstep = jax.jit(step)
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, aux = jstep(state, data, sub)
+        if first is None:
+            first = float(aux["dist_2d"])
+    assert float(aux["dist_2d"]) < first
+
+
+def test_epoch_scan_matches_stepwise(rng):
+    """make_epoch_fn(scan) == manual python loop over the same batches."""
+    cfg = FlowTrainConfig(bf16=False)
+    flow = flows.init_flow(jax.random.PRNGKey(0), 34, hidden=HID)
+    optimizer = train.make_optimizer(cfg.optim, steps_per_epoch=4)
+    step = train.build_full_flow_step(flow.perm, optimizer, cfg)
+    state = train.init_state(flow.params, optimizer)
+    data = _poses(rng, 64)
+    epoch_fn = train.make_epoch_fn(step, batch_size=16)
+    key = jax.random.PRNGKey(5)
+    out_state, losses = epoch_fn(state, data, key)
+
+    # replicate on host
+    n = 64
+    k_perm, k_steps = jax.random.split(key)
+    idx = jax.random.permutation(k_perm, n)
+    batches = data[idx].reshape(4, 16, 34)
+    step_keys = jax.random.split(k_steps, 4)
+    st = state
+    for i in range(4):
+        st, aux = step(st, batches[i], step_keys[i])
+    np.testing.assert_allclose(
+        np.asarray(out_state.params["global_offset"]),
+        np.asarray(st.params["global_offset"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(out_state.step) == 4
+
+
+def test_part_flows_step_runs(rng):
+    cfg = PartFlowTrainConfig(bf16=False)
+    full = flows.init_flow(jax.random.PRNGKey(0), 34, hidden=HID)
+    parts = {
+        "left": flows.init_flow(jax.random.PRNGKey(1), 22, hidden=HID),
+        "right": flows.init_flow(jax.random.PRNGKey(2), 22, hidden=HID),
+        "legs": flows.init_flow(jax.random.PRNGKey(3), 14, hidden=HID),
+        "torso": flows.init_flow(jax.random.PRNGKey(4), 20, hidden=HID),
+    }
+    params = {k: v.params for k, v in parts.items()}
+    perms = {k: v.perm for k, v in parts.items()}
+    optimizer = train.make_optimizer(cfg.optim, 4)
+    step = jax.jit(train.build_part_flows_step(perms, full, optimizer, cfg))
+    state = train.init_state(params, optimizer)
+    state, aux = step(state, _poses(rng, 32), jax.random.PRNGKey(9))
+    for k in ("dist_2d_left", "dist_2d_torso_sample", "loss"):
+        assert np.isfinite(float(aux[k])), k
+
+
+def test_left_right_step_trains(rng):
+    cfg = LifterTrainConfig(bf16=False)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(keys[0], 11),
+        models.init_lifter(keys[1], 11),
+    )
+    frozen = LifterFrozen(
+        full_flow=flows.init_flow(keys[2], 34, hidden=HID),
+        part_a=flows.init_flow(keys[3], 22, hidden=HID),
+        part_b=flows.init_flow(keys[4], 22, hidden=HID),
+    )
+    optimizer = train.make_optimizer(cfg.optim, 2)
+    step = jax.jit(train.build_left_right_step(frozen, optimizer, cfg))
+    state = train.init_state(stacked, optimizer)
+    data = _poses(rng, 32)
+    key = jax.random.PRNGKey(1)
+    l0 = None
+    for i in range(8):
+        key, sub = jax.random.split(key)
+        state, aux = step(state, data, sub)
+        if l0 is None:
+            l0 = float(aux["loss"])
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["loss"]) < l0  # strong unsupervised signal at init
+    assert int(state.step) == 8
+
+
+def test_occlusion_step_trains(rng):
+    cfg = OcclusionTrainConfig(bf16=False)
+    completers = models.init_all_completers(jax.random.PRNGKey(0))
+    leg = models.init_lifter(jax.random.PRNGKey(1), 7)
+    torso = models.init_lifter(jax.random.PRNGKey(2), 10)
+    optimizer = train.make_optimizer(cfg.optim, 2)
+    step = jax.jit(train.build_occlusion_step(leg, torso, optimizer, cfg))
+    state = train.init_state(completers, optimizer)
+    data = _poses(rng, 32)
+    key = jax.random.PRNGKey(3)
+    l0 = None
+    for i in range(6):
+        key, sub = jax.random.split(key)
+        state, aux = step(state, data, sub)
+        if l0 is None:
+            l0 = float(aux["loss"])
+    assert float(aux["loss"]) < l0
