@@ -1,0 +1,68 @@
+import numpy as np
+import jax.numpy as jnp
+
+from links_tpu import data
+from links_tpu.core.geometry import normalize_head, normalize_head_test
+
+
+def test_synthetic_schema(tmp_path):
+    pkl = tmp_path / "synth.pkl"
+    processed = data.write_synthetic_pickle(pkl, n_per_subject=16)
+    assert set(processed) == {"S1", "S5", "S6", "S7", "S8", "S9", "S11"}
+    for s, d in processed.items():
+        assert d["poses_2d"].shape == (16, 17, 2)
+        assert d["poses_3d"].shape == (16, 17, 3)
+        assert d["poses_3d_univ"].shape == (16, 17, 3)
+
+
+def test_load_h36m_train_test_split(tmp_path):
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=16)
+    train = data.load_h36m(pkl, subjects=data.TRAIN_SUBJECTS, normalize_func=normalize_head)
+    test = data.load_h36m(pkl, subjects=data.TEST_SUBJECTS, normalize_func=normalize_head_test)
+    assert len(train) == 16 * 5
+    assert len(test) == 16 * 2
+    assert train.poses_2d.shape == (80, 34)
+    assert train.poses_3d.shape == (80, 51)
+    # normalized 2D: root at origin, magnitudes ~0.1
+    p = np.asarray(train.poses_2d).reshape(-1, 2, 17)
+    np.testing.assert_allclose(p[:, :, 0], 0.0, atol=1e-6)
+    assert 0.01 < np.abs(p).max() < 2.0
+    # 3D stays in mm, (3,17) layout: depth row ~ metres*1000
+    p3 = np.asarray(train.poses_3d).reshape(-1, 3, 17)
+    assert p3[:, 2].mean() > 1000
+
+
+def test_getitem_dict(tmp_path):
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=8)
+    ds = data.load_h36m(pkl, subjects=("S1",), normalize_func=normalize_head)
+    sample = ds[3]
+    assert set(sample) == {"p2d_gt", "poses_3d"}
+    assert sample["p2d_gt"].shape == (34,)
+
+
+def test_maxabs_fallback(tmp_path):
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=8)
+    ds = data.load_h36m(pkl, subjects=("S1",), normalize_func=None)
+    p = np.asarray(ds.poses_2d)
+    assert np.abs(p).max() <= 1.0 + 1e-5
+
+
+def test_synthetic_poses_project_consistently():
+    d = data.generate_poses(32, seed=1)
+    p2d = d["poses_2d"]
+    p3d = d["poses_3d"]
+    want = 1150.0 * p3d[:, :, :2] / p3d[:, :, 2:3]
+    np.testing.assert_allclose(p2d, want, rtol=1e-4)
+
+
+def test_fit_part_pca(tmp_path):
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=32)
+    ds = data.load_h36m(pkl, subjects=("S1",), normalize_func=normalize_head)
+    pcas = data.fit_part_pca(ds.poses_2d)
+    if pcas is not None:
+        left, right = pcas
+        assert left.components_.shape[1] == 22
