@@ -1,0 +1,163 @@
+"""Shared CLI plumbing: reference-parity flags, artifact IO, data loading.
+
+Artifact store: orbax checkpoints under ``--model-dir`` (default ``models/``)
+using stable names; every loader also accepts a reference ``.pt`` path
+(detected by suffix) so shipped reference weights drop straight in.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from links_tpu import ckpt, flows
+from links_tpu.core.geometry import normalize_head, normalize_head_test
+from links_tpu.data import (
+    TEST_SUBJECTS,
+    TRAIN_SUBJECTS,
+    load_h36m,
+    write_synthetic_pickle,
+)
+
+# Stable artifact names (reference equivalents in parentheses; SURVEY.md §2.9)
+FULL_FLOW = "full_flow"           # models/norm_flow_sampling.pt
+FLOW_LEFT = "flow_left"           # mpi_norm_flow_left_2.pt etc.
+FLOW_RIGHT = "flow_right"
+FLOW_LEGS = "flow_legs"
+FLOW_TORSO = "flow_torso"
+LIFTER_LR = "lifter_left_right"   # {left,right}_side_lifter_final.pt (stacked)
+LIFTER_LEGS = "lifter_legs"       # leg_lifter.pt
+LIFTER_TORSO = "lifter_torso"     # torso_lifter.pt
+OCCLUSION = "occlusion_models"    # occlusion_model_weights/*.pt
+
+
+def add_common_flags(parser: argparse.ArgumentParser):
+    parser.add_argument("--data", default="data/h36m_data.pkl",
+                        help="reference-schema pickle")
+    parser.add_argument("--model-dir", default="models", help="artifact directory")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override stage default epoch count")
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=42,
+                        help="PRNG seed (reference: torch.manual_seed(42))")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate synthetic data at --data if missing (smoke runs)")
+    parser.add_argument("--synthetic-n", type=int, default=512,
+                        help="synthetic poses per subject")
+    parser.add_argument("--f32", action="store_true",
+                        help="disable bf16 matmuls (full f32)")
+    parser.add_argument("--log", default=None, help="JSONL metrics path")
+    parser.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
+    parser.add_argument("--save-pt", action="store_true",
+                        help="additionally export reference-layout .pt files")
+    parser.add_argument("--num-devices", type=int, default=None,
+                        help="devices in the data mesh (default: all)")
+    return parser
+
+
+def add_lifter_flags(parser: argparse.ArgumentParser):
+    """Reference loss-weight flags (train_left_right_lifter.py:21-35)."""
+    parser.add_argument("-b", "--bl", type=float, default=50.0, help="bone lengths")
+    parser.add_argument("-t", "--translation", type=float, default=10.0,
+                        help="camera translation")
+    parser.add_argument("-r", "--rep2d", type=float, default=1.0,
+                        help="2d reprojection")
+    parser.add_argument("-o", "--rot3d", type=float, default=1.0,
+                        help="3d reconstruction")
+    parser.add_argument("-v", "--velocity", type=float, default=1.0, help="velocity")
+    parser.add_argument("-l", "--likelihood", type=float, default=1.0,
+                        help="likelihood")
+    return parser
+
+
+def ensure_data(args) -> Path:
+    path = Path(args.data)
+    if not path.exists():
+        if args.synthetic:
+            print(f"[links_tpu] generating synthetic data at {path}")
+            write_synthetic_pickle(path, n_per_subject=args.synthetic_n,
+                                   seed=args.seed)
+        else:
+            raise FileNotFoundError(
+                f"{path} not found. Produce it with links_tpu.data.preprocess "
+                f"(h36m-fetch layout) or pass --synthetic for a smoke run."
+            )
+    return path
+
+
+def load_train_test(args):
+    path = ensure_data(args)
+    train = load_h36m(path, TRAIN_SUBJECTS, normalize_func=normalize_head)
+    test = load_h36m(path, TEST_SUBJECTS, normalize_func=normalize_head_test)
+    return train, test
+
+
+def artifact(args, name: str) -> Path:
+    return Path(args.model_dir) / name
+
+
+def save_flow(args, name: str, flow: flows.Flow):
+    ckpt.save_checkpoint(artifact(args, name), {"params": flow.params,
+                                                "perm": flow.perm})
+    if args.save_pt:
+        ckpt.save_pt(artifact(args, name).with_suffix(".pt"),
+                     ckpt.flow_to_torch(flow))
+
+
+def load_flow(path_or_args, name: str | None = None, n_blocks: int = 8) -> flows.Flow:
+    path = Path(path_or_args) if name is None else artifact(path_or_args, name)
+    if path.suffix == ".pt":
+        return ckpt.load_flow_pt(path, n_blocks)
+    payload = ckpt.restore_checkpoint(path)
+    state = payload["state"]
+    return flows.Flow(params=state["params"], perm=jnp.asarray(state["perm"]))
+
+
+def save_params(args, name: str, params, to_torch=None):
+    ckpt.save_checkpoint(artifact(args, name), {"params": params})
+    if args.save_pt and to_torch is not None:
+        ckpt.save_pt(artifact(args, name).with_suffix(".pt"), to_torch(params))
+
+
+def load_params(path_or_args, name: str | None = None, pt_loader=None):
+    path = Path(path_or_args) if name is None else artifact(path_or_args, name)
+    if path.suffix == ".pt":
+        assert pt_loader is not None
+        return pt_loader(path)
+    return ckpt.restore_checkpoint(path)["state"]["params"]
+
+
+def make_logger(args, default_name: str):
+    from links_tpu.train.logging import MetricLogger
+
+    log_path = args.log or (Path(args.model_dir) / f"{default_name}.jsonl")
+    return MetricLogger(log_path, use_wandb=args.wandb, run_name=default_name)
+
+
+def resolve_cfg(args, cfg):
+    """Apply --epochs/--batch-size/--f32 overrides to a stage config."""
+    import dataclasses
+
+    kw = {}
+    if args.epochs is not None:
+        kw["n_epochs"] = args.epochs
+    if args.batch_size is not None:
+        kw["batch_size"] = args.batch_size
+    if args.f32:
+        kw["bf16"] = False
+    return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def mesh_and_shard(args, *arrays):
+    """Build the data mesh and shard arrays on their batch axis."""
+    from links_tpu.train import parallel
+
+    mesh = parallel.make_mesh(args.num_devices)
+    return mesh, tuple(parallel.shard_batch(a, mesh) for a in arrays)
+
+
+def key_from_seed(seed: int):
+    return jax.random.PRNGKey(seed)

@@ -1,0 +1,93 @@
+"""Stage 5 — evaluate lifters on H36M S9/S11 (reference eval_h36m.py).
+
+Prints PA-MPJPE (reflection='best') and N-MPJPE over the whole test set;
+both metrics run as single batched device programs. ``--mode leg_torso``
+activates the reference's commented-out leg/torso path (eval_h36m.py:63-74);
+``--occlusion`` additionally evaluates the eight occlusion scenarios.
+
+Usage:
+    python -m links_tpu.cli.eval_h36m --data data/h36m_data.pkl [--mode left_right]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+
+from links_tpu import metrics
+from links_tpu.cli import _common as C
+from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Evaluate on Human3.6M")
+    parser.add_argument("--mode", choices=["left_right", "leg_torso"],
+                        default="left_right")
+    parser.add_argument("--choice", choices=["left", "right"], default="right",
+                        help="which side supplies shared joints "
+                             "(eval_h36m.py:58 uses 'right')")
+    parser.add_argument("--depth", type=float, default=10.0)
+    parser.add_argument("--occlusion", action="store_true",
+                        help="also evaluate the 8 occlusion scenarios")
+    parser.add_argument("--json", action="store_true", help="emit one JSON line")
+    C.add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    _, test_data = C.load_train_test(args)
+    test2d, test3d = test_data.poses_2d, test_data.poses_3d
+
+    from links_tpu.ckpt import load_lifter_pt
+
+    results = {}
+    if args.mode == "left_right":
+        stacked = C.load_params(args, C.LIFTER_LR)
+        pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3))(
+            stacked, test2d, args.depth, args.choice
+        )
+    else:
+        legs = C.load_params(args, C.LIFTER_LEGS, pt_loader=load_lifter_pt)
+        torso = C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt)
+        pred = jax.jit(lift_leg_torso_eval, static_argnums=(3,))(
+            legs, torso, test2d, args.depth
+        )
+
+    results["pa_mpjpe"] = float(metrics.pa_mpjpe(test3d, pred).mean())
+    results["n_mpjpe"] = float(
+        metrics.n_mpjpe(test3d, pred, num_joints=17, root_joint=0).mean()
+    )
+    results["pck"] = float(metrics.pck(test3d, pred, num_joints=17, root_joint=0))
+    results["auc"] = float(metrics.auc(test3d, pred, num_joints=17, root_joint=0))
+
+    if args.occlusion:
+        from links_tpu.objectives import occlusion as occ
+
+        stacked = C.load_params(args, C.LIFTER_LR)
+        lifters = {
+            "left": jax.tree.map(lambda a: a[0], stacked),
+            "right": jax.tree.map(lambda a: a[1], stacked),
+            "legs": C.load_params(args, C.LIFTER_LEGS, pt_loader=load_lifter_pt),
+            "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
+        }
+        completers = C.load_params(args, C.OCCLUSION)
+        poses = occ.occlusion_validation_poses(completers, lifters, test2d, args.depth)
+        for name, p in poses.items():
+            results[f"pa_{name}"] = float(metrics.pa_mpjpe(test3d, p).mean())
+            results[f"n_mpjpe_{name}"] = float(
+                metrics.n_mpjpe(test3d, p, num_joints=17, root_joint=0).mean()
+            )
+
+    if args.json:
+        print(json.dumps(results))
+    else:
+        print("The PA-MPJPE error was " + str(results["pa_mpjpe"]))
+        print("The N-MPJPE error was " + str(results["n_mpjpe"]))
+        for k, v in results.items():
+            if k not in ("pa_mpjpe", "n_mpjpe"):
+                print(f"{k}: {v:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Stage 3a — train the left/right side lifters, unsupervised (reference
+train_left_right_lifter.py). Both lifters are a single stacked pytree
+trained by one fused step; validation computes PA-MPJPE (reflection='best')
+and N-MPJPE on-device over the whole test set each epoch.
+
+Usage:
+    python -m links_tpu.cli.train_left_right_lifter --data data/h36m_data.pkl \\
+        -b 50 -t 10 -r 1 -o 1 -v 1 -l 1
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from links_tpu import metrics, models
+from links_tpu.cli import _common as C
+from links_tpu.config import LifterTrainConfig
+from links_tpu.objectives import LifterFrozen, lift_left_right_eval
+from links_tpu.train import (
+    build_left_right_step,
+    dp_epoch_fn,
+    init_state,
+    make_optimizer,
+)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _validate(stacked_params, test_2d, test_3d, depth: float = 10.0):
+    """Reference validation_step (train_left_right_lifter.py:437-499), the
+    per-sample numpy Procrustes loop replaced by one batched device SVD."""
+    out = {}
+    for choice in ("left", "right"):
+        pred = lift_left_right_eval(stacked_params, test_2d, depth, choice)
+        out[f"pa_{choice}"] = metrics.pa_mpjpe(test_3d, pred).mean()
+        out[f"mpjpe_scaled_{choice}"] = metrics.n_mpjpe(
+            test_3d, pred, num_joints=17, root_joint=0
+        ).mean()
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
+    C.add_lifter_flags(parser)
+    C.add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    cfg = C.resolve_cfg(args, LifterTrainConfig(
+        weight_bl=args.bl, depth=args.translation, weight_2d=args.rep2d,
+        weight_3d=args.rot3d, weight_velocity=args.velocity,
+        weight_likeli=args.likelihood,
+    ))
+    train_data, test_data = C.load_train_test(args)
+    frozen = LifterFrozen(
+        full_flow=C.load_flow(args, C.FULL_FLOW),
+        part_a=C.load_flow(args, C.FLOW_LEFT),
+        part_b=C.load_flow(args, C.FLOW_RIGHT),
+    )
+    logger = C.make_logger(args, "left_right_lifter")
+    logger.set_config({"learning_rate": cfg.optim.learning_rate,
+                       "BATCH_SIZE": cfg.batch_size, "N_epochs": cfg.n_epochs,
+                       "weight_bl": cfg.weight_bl, "depth": cfg.depth,
+                       "use_elevation": cfg.use_elevation})
+
+    key = C.key_from_seed(args.seed)
+    key, kl, kr = jax.random.split(key, 3)
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(kl, models.SIDE_JOINTS),
+        models.init_lifter(kr, models.SIDE_JOINTS),
+    )
+
+    steps_per_epoch = len(train_data) // cfg.batch_size
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch)
+    step = build_left_right_step(frozen, optimizer, cfg)
+    state = init_state(stacked, optimizer)
+
+    mesh, (data2d, test2d, test3d) = C.mesh_and_shard(
+        args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
+    )
+    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+
+    for epoch in range(cfg.n_epochs):
+        key, sub = jax.random.split(key)
+        state, losses = epoch_fn(state, data2d, sub)
+        rec = {k: float(v) for k, v in losses.items()}
+        rec.update({k: float(v) for k, v in
+                    _validate(state.params, test2d, test3d, depth=cfg.depth).items()})
+        rec["epoch"] = epoch
+        logger.log(rec, step=epoch)
+        print(f"epoch {epoch}: loss={rec['loss']:.4f} "
+              f"pa_left={rec['pa_left']:.2f} pa_right={rec['pa_right']:.2f} "
+              f"n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")
+        C.save_params(args, C.LIFTER_LR, state.params)
+
+    if args.save_pt:
+        from links_tpu import ckpt
+
+        left = jax.tree.map(lambda a: a[0], state.params)
+        right = jax.tree.map(lambda a: a[1], state.params)
+        ckpt.save_pt(C.artifact(args, "left_side_lifter_final.pt"),
+                     ckpt.lifter_to_torch(left))
+        ckpt.save_pt(C.artifact(args, "right_side_lifter_final.pt"),
+                     ckpt.lifter_to_torch(right))
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

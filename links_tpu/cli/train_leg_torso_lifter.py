@@ -1,0 +1,114 @@
+"""Stage 3b — train the legs/torso lifters, unsupervised (reference
+train_leg_torso_lifter.py; its dead left/right-lifter freeze lines at
+:69-73 are dropped per SURVEY.md §7.3). Validation adds PCK and AUC
+(train_leg_torso_lifter.py:331-337).
+
+Usage:
+    python -m links_tpu.cli.train_leg_torso_lifter --data data/h36m_data.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+import jax
+
+from links_tpu import metrics, models
+from links_tpu.cli import _common as C
+from links_tpu.config import LifterTrainConfig
+from links_tpu.core.skeleton import BONE_RELATIONS_MEAN_H36M
+from links_tpu.objectives import LifterFrozen, lift_leg_torso_eval
+from links_tpu.train import (
+    build_leg_torso_step,
+    dp_epoch_fn,
+    init_state,
+    make_optimizer,
+)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _validate(params, test_2d, test_3d, depth: float = 10.0):
+    """train_leg_torso_lifter.py:286-337 on device."""
+    pred = lift_leg_torso_eval(params["legs"], params["torso"], test_2d, depth)
+    return {
+        "pa": metrics.pa_mpjpe(test_3d, pred).mean(),
+        "mpjpe_scaled": metrics.n_mpjpe(test_3d, pred, num_joints=17,
+                                        root_joint=0).mean(),
+        "auc": metrics.auc(test_3d, pred, num_joints=17, root_joint=0),
+        "pck": metrics.pck(test_3d, pred, num_joints=17, root_joint=0),
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
+    C.add_lifter_flags(parser)
+    parser.add_argument("--bone-means", choices=["h36m", "mpi_vnect_interesting"],
+                        default="h36m",
+                        help="bone-relation prior; the reference file defaults "
+                             "to the MPI means (train_leg_torso_lifter.py:97) "
+                             "but H36M training wants the H36M means")
+    C.add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    cfg = C.resolve_cfg(args, LifterTrainConfig(
+        weight_bl=args.bl, depth=args.translation, weight_2d=args.rep2d,
+        weight_3d=args.rot3d, weight_velocity=args.velocity,
+        weight_likeli=args.likelihood,
+    ))
+    train_data, test_data = C.load_train_test(args)
+    frozen = LifterFrozen(
+        full_flow=C.load_flow(args, C.FULL_FLOW),
+        part_a=C.load_flow(args, C.FLOW_LEGS),
+        part_b=C.load_flow(args, C.FLOW_TORSO),
+    )
+    bone_means = None  # objective default = MPI vnect interesting
+    if args.bone_means == "h36m":
+        import jax.numpy as jnp
+
+        bone_means = jnp.asarray(BONE_RELATIONS_MEAN_H36M, jnp.float32)
+
+    logger = C.make_logger(args, "leg_torso_lifter")
+    key = C.key_from_seed(args.seed)
+    key, k_leg, k_torso = jax.random.split(key, 3)
+    params = {
+        "legs": models.init_lifter(k_leg, models.LEG_JOINTS),
+        "torso": models.init_lifter(k_torso, models.TORSO_JOINTS),
+    }
+
+    steps_per_epoch = len(train_data) // cfg.batch_size
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch)
+    step = build_leg_torso_step(frozen, optimizer, cfg, bone_means)
+    state = init_state(params, optimizer)
+
+    mesh, (data2d, test2d, test3d) = C.mesh_and_shard(
+        args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
+    )
+    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+
+    for epoch in range(cfg.n_epochs):
+        key, sub = jax.random.split(key)
+        state, losses = epoch_fn(state, data2d, sub)
+        rec = {k: float(v) for k, v in losses.items()}
+        rec.update({k: float(v) for k, v in
+                    _validate(state.params, test2d, test3d, depth=cfg.depth).items()})
+        rec["epoch"] = epoch
+        logger.log(rec, step=epoch)
+        print(f"epoch {epoch}: loss={rec['loss']:.4f} pa={rec['pa']:.2f} "
+              f"n-mpjpe={rec['mpjpe_scaled']:.2f} pck={rec['pck']:.2f}")
+        C.save_params(args, C.LIFTER_LEGS, state.params["legs"])
+        C.save_params(args, C.LIFTER_TORSO, state.params["torso"])
+
+    if args.save_pt:
+        from links_tpu import ckpt
+
+        ckpt.save_pt(C.artifact(args, "leg_lifter.pt"),
+                     ckpt.lifter_to_torch(state.params["legs"]))
+        ckpt.save_pt(C.artifact(args, "torso_lifter.pt"),
+                     ckpt.lifter_to_torch(state.params["torso"]))
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Stage 4 — train the eight occlusion-completion models against the frozen
+lifters' pseudo-3D (reference train_occlusion_models.py). Validation
+evaluates all eight occlusion scenarios built from mixed lifter
+combinations, on device.
+
+Usage:
+    python -m links_tpu.cli.train_occlusion_models --data data/h36m_data.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+from functools import partial
+
+import jax
+
+from links_tpu import metrics, models
+from links_tpu.cli import _common as C
+from links_tpu.config import OcclusionTrainConfig
+from links_tpu.objectives import occlusion as occ
+from links_tpu.train import (
+    build_occlusion_step,
+    dp_epoch_fn,
+    init_state,
+    make_optimizer,
+)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def _validate(completers, lifters, test_2d, test_3d, depth: float = 10.0):
+    """Per-scenario PA-MPJPE + N-MPJPE (train_occlusion_models.py:401-509)."""
+    poses = occ.occlusion_validation_poses(completers, lifters, test_2d, depth)
+    out = {}
+    for name, pred in poses.items():
+        out[f"pa_{name}"] = metrics.pa_mpjpe(test_3d, pred).mean()
+        out[f"mpjpe_scaled_{name}"] = metrics.n_mpjpe(
+            test_3d, pred, num_joints=17, root_joint=0
+        ).mean()
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
+    # reference flag set (train_occlusion_models.py:27-42)
+    parser.add_argument("-n", "--num_bases", type=int, default=26,
+                        help="number of PCA bases")
+    C.add_lifter_flags(parser)
+    C.add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
+    train_data, test_data = C.load_train_test(args)
+
+    from links_tpu.ckpt import load_lifter_pt
+
+    stacked_lr = C.load_params(args, C.LIFTER_LR)
+    lifters = {
+        "left": jax.tree.map(lambda a: a[0], stacked_lr),
+        "right": jax.tree.map(lambda a: a[1], stacked_lr),
+        "legs": C.load_params(args, C.LIFTER_LEGS, pt_loader=load_lifter_pt),
+        "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
+    }
+
+    logger = C.make_logger(args, "occlusion_models")
+    key = C.key_from_seed(args.seed)
+    key, k_init = jax.random.split(key)
+    completers = models.init_all_completers(k_init)
+
+    steps_per_epoch = len(train_data) // cfg.batch_size
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch)
+    step = build_occlusion_step(lifters["legs"], lifters["torso"], optimizer, cfg)
+    state = init_state(completers, optimizer)
+
+    mesh, (data2d, test2d, test3d) = C.mesh_and_shard(
+        args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
+    )
+    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+
+    for epoch in range(cfg.n_epochs):
+        key, sub = jax.random.split(key)
+        state, losses = epoch_fn(state, data2d, sub)
+        rec = {k: float(v) for k, v in losses.items()}
+        rec.update({k: float(v) for k, v in
+                    _validate(state.params, lifters, test2d, test3d,
+                              depth=cfg.depth).items()})
+        rec["epoch"] = epoch
+        logger.log(rec, step=epoch)
+        print(f"epoch {epoch}: loss={rec['loss']:.4f} pa_left={rec['pa_left']:.2f} "
+              f"pa_torso={rec['pa_torso']:.2f}")
+        C.save_params(args, C.OCCLUSION, state.params)
+
+    if args.save_pt:
+        from links_tpu import ckpt
+
+        names = {  # reference file names (train_occlusion_models.py:563-570)
+            "left_leg": "left_leg_estimator.pt", "right_leg": "right_leg_estimator.pt",
+            "both_legs": "both_legs_estimator.pt", "left_side": "left_side_estimator.pt",
+            "right_side": "right_side_estimator.pt", "right_arm": "right_arm_estimator.pt",
+            "left_arm": "left_arm_estimator.pt", "torso": "torso_estimator.pt",
+        }
+        out_dir = C.artifact(args, "occlusion_model_weights")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for k, fname in names.items():
+            ckpt.save_pt(out_dir / fname, ckpt.completer_to_torch(state.params[k]))
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,76 @@
+"""Stage 2 — train the four partial-pose flows (left/right sides, legs,
+torso) on real splits + frozen-full-flow samples (reference
+train_leg_torso_left_right_norm_flow.py).
+
+Usage:
+    python -m links_tpu.cli.train_part_norm_flows --data data/h36m_data.pkl
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from links_tpu import flows
+from links_tpu.cli import _common as C
+from links_tpu.config import PartFlowTrainConfig
+from links_tpu.train import (
+    build_part_flows_step,
+    dp_epoch_fn,
+    init_state,
+    make_optimizer,
+)
+
+_NAMES = {"left": C.FLOW_LEFT, "right": C.FLOW_RIGHT,
+          "legs": C.FLOW_LEGS, "torso": C.FLOW_TORSO}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train 2D INN")
+    # reference flag (train_leg_torso_left_right_norm_flow.py:28-29)
+    parser.add_argument("-l", "--left_right_side_keypoints", type=int, default=22,
+                        help="number of key-points in each split")
+    C.add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    cfg = C.resolve_cfg(
+        args, PartFlowTrainConfig(side_keypoints=args.left_right_side_keypoints)
+    )
+    train_data, _ = C.load_train_test(args)
+    full_flow = C.load_flow(args, C.FULL_FLOW)
+    logger = C.make_logger(args, "part_norm_flows")
+
+    key = C.key_from_seed(args.seed)
+    keys = jax.random.split(key, 5)
+    key = keys[0]
+    dims = {"left": cfg.side_keypoints, "right": cfg.side_keypoints,
+            "legs": cfg.leg_keypoints, "torso": cfg.torso_keypoints}
+    part = {name: flows.init_flow(k, d)
+            for (name, d), k in zip(dims.items(), keys[1:])}
+    params = {n: f.params for n, f in part.items()}
+    perms = {n: f.perm for n, f in part.items()}
+
+    steps_per_epoch = len(train_data) // cfg.batch_size
+    optimizer = make_optimizer(cfg.optim, steps_per_epoch)
+    step = build_part_flows_step(perms, full_flow, optimizer, cfg)
+    state = init_state(params, optimizer)
+
+    mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
+    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+
+    for epoch in range(cfg.n_epochs):
+        key, sub = jax.random.split(key)
+        state, losses = epoch_fn(state, data2d, sub)
+        rec = {k: float(v) for k, v in losses.items()}
+        rec["epoch"] = epoch
+        logger.log(rec, step=epoch)
+        print(f"epoch {epoch}: loss={rec['loss']:.4f}")
+        for name, art in _NAMES.items():
+            C.save_flow(args, art, flows.Flow(state.params[name], perms[name]))
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -22,7 +22,9 @@ def forward(flow: Flow, x, policy: nn.Policy = nn.F32):
         y, j = block_forward(params, w, h, policy)
         return (y, ld + j), None
 
-    init = (x, jnp.zeros(x.shape[:-1], jnp.float32))
+    # derive the zero carry from x so its varying manual axes match under
+    # shard_map (a plain jnp.zeros constant is unvarying and breaks the scan)
+    init = (x, (x[..., 0] * 0.0).astype(jnp.float32))
     (z, logdet), _ = jax.lax.scan(body, init, (flow.params, flow.perm))
     return z, logdet
 
@@ -36,7 +38,7 @@ def inverse(flow: Flow, z, policy: nn.Policy = nn.F32):
         y, j = block_inverse(params, w, h, policy)
         return (y, ld + j), None
 
-    init = (z, jnp.zeros(z.shape[:-1], jnp.float32))
+    init = (z, (z[..., 0] * 0.0).astype(jnp.float32))
     (x, logdet), _ = jax.lax.scan(body, init, (flow.params, flow.perm), reverse=True)
     return x, logdet
 

@@ -106,6 +106,98 @@ def completer_losses(completers, pose_3d, policy: nn.Policy = nn.F32):
     return losses
 
 
+def occlusion_validation_poses(completers, lifters, test_2d, depth: float = 10.0,
+                               policy: nn.Policy = nn.F32):
+    """Reference validation scenario construction
+    (train_occlusion_models.py:317-399): partial 3D poses are built from
+    *different lifter combinations* (side lifters supply side poses; the
+    leg/torso lifters supply part poses), each completer infills its part,
+    and the merged full poses are translated back to the camera frame.
+
+    ``lifters``: {'left','right','legs','torso'} param pytrees.
+    Returns {scenario: (B, 51) camera-frame poses} for the 8 scenarios
+    keyed la/ra/ll/rl/torso/legs/left/right.
+    """
+    from links_tpu.core.skeleton import (
+        combine_left_right_occluded_3d,
+        combine_pose_and_limb,
+        split_data_left_right,
+    )
+
+    left_split, right_split = split_data_left_right(test_2d)
+    legs_split, torso_split = split_data_legs_torso(test_2d)
+
+    legs_pred, _ = lifter_apply(lifters["legs"], legs_split, policy)
+    torso_pred, _ = lifter_apply(lifters["torso"], torso_split, policy)
+    left_pred, _ = lifter_apply(lifters["left"], left_split, policy)
+    right_pred, _ = lifter_apply(lifters["right"], right_split, policy)
+
+    left_pred = left_pred.at[:, 0].set(0.0) + depth
+    right_pred = right_pred.at[:, 0].set(0.0) + depth
+    pred_lt = jnp.concatenate([legs_pred, torso_pred], axis=1).at[:, 0].set(0.0) + depth
+
+    def _to3d(split2d, d, nj):
+        s = split2d.reshape(-1, 2, nj)
+        return jnp.concatenate([s * d[:, None, :], d[:, None, :]], axis=1)
+
+    p_legs = _to3d(legs_split, pred_lt[:, :7], 7)
+    p_torso = _to3d(torso_split, pred_lt[:, 7:], 10)
+    p_left = _to3d(left_split, left_pred, 11)
+    p_right = _to3d(right_split, right_pred, 11)
+
+    # root-centering (train_occlusion_models.py:360-363): torso uses the
+    # legs' root (it has none of its own)
+    p_torso = p_torso - p_legs[:, :, 0:1]
+    p_legs = p_legs - p_legs[:, :, 0:1]
+    p_left = p_left - p_left[:, :, 0:1]
+    p_right = p_right - p_right[:, :, 0:1]
+
+    inputs = {
+        "la": jnp.concatenate([p_legs, p_right[:, :, 4:]], axis=2).reshape(-1, 42),
+        "ra": jnp.concatenate([p_legs, p_left[:, :, 4:]], axis=2).reshape(-1, 42),
+        "ll": jnp.concatenate([p_right[:, :, :4], p_torso], axis=2).reshape(-1, 42),
+        "rl": jnp.concatenate([p_left[:, :, :4], p_torso], axis=2).reshape(-1, 42),
+        "torso": p_legs.reshape(-1, 21),
+        "legs": jnp.concatenate([p_legs[:, :, 0:1], p_torso], axis=2).reshape(-1, 33),
+        "left": p_right.reshape(-1, 33),   # pose without its left side
+        "right": p_left.reshape(-1, 33),
+    }
+    preds = {
+        "la": completer_apply(completers["left_arm"], inputs["la"], policy),
+        "ra": completer_apply(completers["right_arm"], inputs["ra"], policy),
+        "ll": completer_apply(completers["left_leg"], inputs["ll"], policy),
+        "rl": completer_apply(completers["right_leg"], inputs["rl"], policy),
+        "torso": completer_apply(completers["torso"], inputs["torso"], policy),
+        "legs": completer_apply(completers["both_legs"], inputs["legs"], policy),
+        "left": completer_apply(completers["left_side"], inputs["left"], policy),
+        "right": completer_apply(completers["right_side"], inputs["right"], policy),
+    }
+    full = {
+        "la": combine_pose_and_limb(inputs["la"], preds["la"], "la"),
+        "ra": combine_pose_and_limb(inputs["ra"], preds["ra"], "ra"),
+        "ll": combine_pose_and_limb(inputs["ll"], preds["ll"], "ll"),
+        "rl": combine_pose_and_limb(inputs["rl"], preds["rl"], "rl"),
+        "torso": jnp.concatenate(
+            [inputs["torso"].reshape(-1, 3, 7), preds["torso"].reshape(-1, 3, 10)],
+            axis=2).reshape(-1, 51),
+        "legs": jnp.concatenate(
+            [inputs["legs"].reshape(-1, 3, 11)[:, :, :1],
+             preds["legs"].reshape(-1, 3, 6),
+             inputs["legs"].reshape(-1, 3, 11)[:, :, 1:]], axis=2).reshape(-1, 51),
+        "left": combine_left_right_occluded_3d(
+            occluded_part=preds["left"], visible_part=inputs["left"],
+            part_occluded="left").reshape(-1, 51),
+        "right": combine_left_right_occluded_3d(
+            occluded_part=preds["right"], visible_part=inputs["right"],
+            part_occluded="right").reshape(-1, 51),
+    }
+    # camera frame (z += depth; train_occlusion_models.py:392-399)
+    return {
+        k: jnp.concatenate([v[:, :34], v[:, 34:] + depth], axis=1)
+        for k, v in full.items()
+    }
+
+
 def occlusion_loss(completers, pose_3d, key, policy: nn.Policy = nn.F32):
     """Full stage-4 loss: MSE over identity + two cumulative random
     y-rotations (train_occlusion_models.py:213-296). Returns (loss, aux)
