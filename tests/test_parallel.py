@@ -1,0 +1,114 @@
+"""Data-parallel correctness on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from links_tpu import flows, models, train
+from links_tpu.config import FlowTrainConfig, LifterTrainConfig
+from links_tpu.objectives import LifterFrozen, left_right_loss
+from links_tpu.train import parallel
+
+HID = 32
+
+
+def _poses(rng, n):
+    p = rng.normal(size=(n, 2, 17)).astype(np.float32) * 0.1
+    p[:, :, 0] = 0.0
+    return jnp.asarray(p.reshape(n, 34))
+
+
+def test_mesh_has_8_devices():
+    mesh = parallel.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def _lr_setup(bf16=False):
+    cfg = LifterTrainConfig(bf16=bf16)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(keys[0], 11),
+        models.init_lifter(keys[1], 11),
+    )
+    frozen = LifterFrozen(
+        full_flow=flows.init_flow(keys[2], 34, hidden=HID),
+        part_a=flows.init_flow(keys[3], 22, hidden=HID),
+        part_b=flows.init_flow(keys[4], 22, hidden=HID),
+    )
+    return cfg, stacked, frozen
+
+
+def test_gspmd_matches_single_device(rng):
+    """The GSPMD-sharded step is the same global program — results must
+    match the unsharded step to float tolerance."""
+    cfg, stacked, frozen = _lr_setup()
+    optimizer = train.make_optimizer(cfg.optim, 2)
+    step = train.build_left_right_step(frozen, optimizer, cfg)
+    state = train.init_state(stacked, optimizer)
+    batch = _poses(rng, 32)
+    key = jax.random.PRNGKey(7)
+
+    single_state, single_aux = jax.jit(step)(state, batch, key)
+
+    mesh = parallel.make_mesh()
+    dp_step = parallel.dp_jit_step(step, mesh)
+    rep_state = parallel.replicate(state, mesh)
+    sh_batch = parallel.shard_batch(batch, mesh)
+    dp_state, dp_aux = dp_step(rep_state, sh_batch, key)
+
+    np.testing.assert_allclose(
+        float(dp_aux["loss"]), float(single_aux["loss"]), rtol=1e-4
+    )
+    a = np.asarray(single_state.params["upscale"]["w"])
+    b = np.asarray(dp_state.params["upscale"]["w"])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_shard_map_step_trains_and_stays_replicated(rng):
+    cfg, stacked, frozen = _lr_setup()
+    optimizer = train.make_optimizer(cfg.optim, 2)
+    state = train.init_state(stacked, optimizer)
+    mesh = parallel.make_mesh()
+
+    def loss_fn(params, batch, key):
+        return left_right_loss(params, frozen, batch, key, cfg)
+
+    sm_step = parallel.dp_shard_map_step(loss_fn, optimizer, mesh)
+    state = parallel.replicate(state, mesh)
+    batch = parallel.shard_batch(_poses(rng, 32), mesh)
+    key = jax.random.PRNGKey(3)
+    l0 = None
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        state, aux = sm_step(state, batch, sub)
+        if l0 is None:
+            l0 = float(aux["loss"])
+    assert np.isfinite(float(aux["loss"]))
+    assert float(aux["loss"]) < l0
+    # parameters identical across shards (replicated after psum'd update)
+    w = state.params["upscale"]["w"]
+    gathered = [np.asarray(s.data) for s in w.addressable_shards]
+    for g in gathered[1:]:
+        np.testing.assert_array_equal(gathered[0], g)
+
+
+def test_dp_epoch_fn_runs_sharded(rng):
+    cfg = FlowTrainConfig(bf16=False, batch_size=16)
+    flow = flows.init_flow(jax.random.PRNGKey(0), 34, hidden=HID)
+    optimizer = train.make_optimizer(cfg.optim, 4)
+    step = train.build_full_flow_step(flow.perm, optimizer, cfg)
+    state = train.init_state(flow.params, optimizer)
+    mesh = parallel.make_mesh()
+    data = parallel.shard_batch(_poses(rng, 64), mesh)
+    epoch_fn = parallel.dp_epoch_fn(step, cfg.batch_size, mesh)
+    state, losses = epoch_fn(parallel.replicate(state, mesh), data, jax.random.PRNGKey(1))
+    assert int(state.step) == 4
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_uneven_device_counts():
+    # meshes smaller than the full device set
+    mesh4 = parallel.make_mesh(4)
+    assert mesh4.devices.size == 4
