@@ -1,0 +1,72 @@
+"""Visualisation entry point (reference visualisation/*.py scripts).
+
+Usage:
+    python -m links_tpu.cli.visualise --data data/h36m_data.pkl --frame 0 \\
+        --what prediction --out pred.png
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from links_tpu.cli import _common as C
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Render skeletons / predictions")
+    parser.add_argument("--what", default="prediction",
+                        choices=["gt3d", "gt2d", "prediction", "occlusion", "samples"])
+    parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--scenario", default="left",
+                        help="occlusion scenario (la/ra/ll/rl/torso/legs/left/right)")
+    parser.add_argument("--flow", default=C.FULL_FLOW, help="flow artifact for --what samples")
+    parser.add_argument("--depth", type=float, default=10.0)
+    parser.add_argument("--out", default=None, help="output image path")
+    C.add_common_flags(parser)
+    args = parser.parse_args(argv)
+
+    _, test_data = C.load_train_test(args)
+    test2d, test3d = test_data.poses_2d, test_data.poses_3d
+    out = args.out or f"{args.what}_{args.frame}.png"
+
+    from links_tpu import viz
+
+    if args.what == "gt3d":
+        viz.compare_poses_3d([test3d[args.frame]], ["ground truth"], out_path=out)
+    elif args.what == "gt2d":
+        import matplotlib.pyplot as plt
+
+        ax = viz.plot_skeleton_2d(test2d[args.frame], title="ground truth 2D")
+        ax.figure.savefig(out, dpi=120, bbox_inches="tight")
+        plt.close(ax.figure)
+    elif args.what == "prediction":
+        stacked = C.load_params(args, C.LIFTER_LR)
+        _, err = viz.visualise_prediction(stacked, test2d, test3d, args.frame,
+                                          args.depth, out_path=out)
+        print(f"frame {args.frame}: PA-MPJPE {err:.2f}mm")
+    elif args.what == "occlusion":
+        from links_tpu.ckpt import load_lifter_pt
+
+        stacked = C.load_params(args, C.LIFTER_LR)
+        lifters = {
+            "left": jax.tree.map(lambda a: a[0], stacked),
+            "right": jax.tree.map(lambda a: a[1], stacked),
+            "legs": C.load_params(args, C.LIFTER_LEGS, pt_loader=load_lifter_pt),
+            "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
+        }
+        completers = C.load_params(args, C.OCCLUSION)
+        _, err = viz.visualise_occlusion(completers, lifters, test2d, test3d,
+                                         args.frame, args.scenario, args.depth,
+                                         out_path=out)
+        print(f"frame {args.frame} scenario {args.scenario}: PA {err:.2f}mm")
+    elif args.what == "samples":
+        flow = C.load_flow(args, args.flow)
+        viz.visualise_flow_samples(flow, test2d, jax.random.PRNGKey(args.seed),
+                                   out_path=out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Host-side matplotlib skeleton rendering (reference visualisation/
+h36m_gt_visualiser.py, h36m_2d_visualiser.py).
+
+The reference expands 17 joints back into a 32-slot H36M buffer and walks
+that kinematic tree (h36m_gt_visualiser.py:88-91); here the 16-edge bone map
+over the 17-joint subset draws the same skeleton directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from links_tpu.core.skeleton import BONE_MAP_ALL
+
+# Right-side bones drawn in a distinct color (right leg 0-2, right arm 13-15).
+_RIGHT_BONES = {0, 1, 2, 13, 14, 15}
+RIGHT_COLOR = "#d62728"
+LEFT_COLOR = "#1f77b4"
+
+
+def _require_plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_skeleton_3d(pose_3d, ax=None, title=None, color_by_side=True):
+    """(3,17) or (51,) pose → 3D skeleton axes."""
+    plt = _require_plt()
+    p = np.asarray(pose_3d).reshape(3, 17)
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+    for i, (a, b) in enumerate(BONE_MAP_ALL):
+        c = RIGHT_COLOR if (color_by_side and i in _RIGHT_BONES) else LEFT_COLOR
+        ax.plot([p[0, a], p[0, b]], [p[2, a], p[2, b]], [-p[1, a], -p[1, b]], c=c)
+    ax.scatter(p[0], p[2], -p[1], s=8, c="k")
+    ax.set_box_aspect((1, 1, 1))
+    _equal_3d(ax, p[0], p[2], -p[1])
+    if title:
+        ax.set_title(title)
+    return ax
+
+
+def plot_skeleton_2d(pose_2d, ax=None, title=None, color_by_side=True, invert_y=True):
+    """(2,17) or (34,) pose → 2D skeleton axes."""
+    plt = _require_plt()
+    p = np.asarray(pose_2d).reshape(2, 17)
+    if ax is None:
+        _, ax = plt.subplots()
+    for i, (a, b) in enumerate(BONE_MAP_ALL):
+        c = RIGHT_COLOR if (color_by_side and i in _RIGHT_BONES) else LEFT_COLOR
+        ax.plot([p[0, a], p[0, b]], [p[1, a], p[1, b]], c=c)
+    ax.scatter(p[0], p[1], s=8, c="k")
+    ax.set_aspect("equal")
+    if invert_y:
+        ax.invert_yaxis()
+    if title:
+        ax.set_title(title)
+    return ax
+
+
+def _equal_3d(ax, x, y, z):
+    r = max(np.ptp(x), np.ptp(y), np.ptp(z)) / 2
+    mx, my, mz = x.mean(), y.mean(), z.mean()
+    ax.set_xlim(mx - r, mx + r)
+    ax.set_ylim(my - r, my + r)
+    ax.set_zlim(mz - r, mz + r)
+
+
+def compare_poses_3d(poses, titles=None, out_path=None):
+    """Side-by-side 3D renders (e.g. GT vs prediction vs completed)."""
+    plt = _require_plt()
+    n = len(poses)
+    fig = plt.figure(figsize=(4 * n, 4))
+    for i, pose in enumerate(poses):
+        ax = fig.add_subplot(1, n, i + 1, projection="3d")
+        plot_skeleton_3d(pose, ax=ax, title=titles[i] if titles else None)
+    if out_path:
+        fig.savefig(out_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def render_comparison_video(gt_seq, pred_seq, out_path, fps: int = 25):
+    """GT-vs-prediction comparison video (reference ships 14 pre-rendered
+    videos, videos/README.md:1-17; this is the writer). gt_seq/pred_seq:
+    (T, 3, 17)."""
+    plt = _require_plt()
+    from matplotlib import animation
+
+    fig = plt.figure(figsize=(8, 4))
+    axes = [fig.add_subplot(1, 2, i + 1, projection="3d") for i in range(2)]
+
+    def draw(t):
+        for ax, seq, title in ((axes[0], gt_seq, "ground truth"),
+                               (axes[1], pred_seq, "prediction")):
+            ax.cla()
+            plot_skeleton_3d(seq[t], ax=ax, title=title)
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(gt_seq))
+    anim.save(out_path, fps=fps, writer="ffmpeg" if _has_ffmpeg() else "pillow")
+    plt.close(fig)
+    return out_path
+
+
+def _has_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
