@@ -37,6 +37,17 @@ OCCLUSION = "occlusion_models"    # occlusion_model_weights/*.pt
 def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--data", default="data/h36m_data.pkl",
                         help="reference-schema pickle")
+    parser.add_argument("--dataset", choices=["h36m", "mpi"], default="h36m",
+                        help="h36m uses poses_3d GT; mpi uses poses_3d_univ "
+                             "(utils/h36m_dataset_class.py:81)")
+    parser.add_argument("--train-subjects", default=None,
+                        help="comma-separated subject list override")
+    parser.add_argument("--test-subjects", default=None)
+    parser.add_argument("--test-norm",
+                        choices=["h36m", "mpi_chest", "mpi_vnect", "temporal"],
+                        default=None,
+                        help="test normalization scale variant "
+                             "(utils/helpers.py:222-259); defaults by dataset")
     parser.add_argument("--model-dir", default="models", help="artifact directory")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override stage default epoch count")
@@ -88,10 +99,45 @@ def ensure_data(args) -> Path:
     return path
 
 
+_TEST_NORMS = {
+    "h36m": normalize_head_test,
+}
+
+
+def _test_norm_fn(name: str):
+    from links_tpu.core.geometry import (
+        normalize_head_test_mpi_chest,
+        normalize_head_test_mpi_vnect,
+        normalize_head_test_temporal,
+    )
+
+    return {
+        "h36m": normalize_head_test,
+        "mpi_chest": normalize_head_test_mpi_chest,
+        "mpi_vnect": normalize_head_test_mpi_vnect,
+        "temporal": normalize_head_test_temporal,
+    }[name]
+
+
 def load_train_test(args):
     path = ensure_data(args)
-    train = load_h36m(path, TRAIN_SUBJECTS, normalize_func=normalize_head)
-    test = load_h36m(path, TEST_SUBJECTS, normalize_func=normalize_head_test)
+    if args.dataset == "mpi":
+        from links_tpu.data import MPI_SUBJECTS, load_mpi_inf_3dhp as loader
+
+        train_subjects = MPI_SUBJECTS
+        test_subjects = MPI_SUBJECTS[-2:]
+        test_norm = _test_norm_fn(args.test_norm or "mpi_vnect")
+    else:
+        loader = load_h36m
+        train_subjects = TRAIN_SUBJECTS
+        test_subjects = TEST_SUBJECTS
+        test_norm = _test_norm_fn(args.test_norm or "h36m")
+    if args.train_subjects:
+        train_subjects = tuple(args.train_subjects.split(","))
+    if args.test_subjects:
+        test_subjects = tuple(args.test_subjects.split(","))
+    train = loader(path, train_subjects, normalize_func=normalize_head)
+    test = loader(path, test_subjects, normalize_func=test_norm)
     return train, test
 
 

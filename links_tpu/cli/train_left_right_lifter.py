@@ -45,6 +45,10 @@ def _validate(stacked_params, test_2d, test_3d, depth: float = 10.0):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     C.add_lifter_flags(parser)
+    parser.add_argument("--bone-means", choices=["h36m", "mpi_vnect_interesting"],
+                        default="h36m",
+                        help="bone-relation prior means "
+                             "(train_left_right_lifter.py:76-94)")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -73,9 +77,18 @@ def main(argv=None):
         models.init_lifter(kr, models.SIDE_JOINTS),
     )
 
+    bone_means = None  # objective default = H36M means
+    if args.bone_means == "mpi_vnect_interesting":
+        from links_tpu.core.skeleton import (
+            BONE_RELATIONS_MEAN_MPI_VNECT_INTERESTING,
+        )
+
+        bone_means = jnp.asarray(BONE_RELATIONS_MEAN_MPI_VNECT_INTERESTING,
+                                 jnp.float32)
+
     steps_per_epoch = len(train_data) // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
-    step = build_left_right_step(frozen, optimizer, cfg)
+    step = build_left_right_step(frozen, optimizer, cfg, bone_means)
     state = init_state(stacked, optimizer)
 
     mesh, (data2d, test2d, test3d) = C.mesh_and_shard(

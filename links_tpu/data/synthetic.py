@@ -80,7 +80,8 @@ def generate_poses(n: int, seed: int = 0):
 
 
 def write_synthetic_pickle(path, n_per_subject: int = 128, seed: int = 0,
-                           subjects=("S1", "S5", "S6", "S7", "S8", "S9", "S11")):
+                           subjects=("S1", "S2", "S3", "S4", "S5", "S6", "S7",
+                                     "S8", "S9", "S11")):
     """Reference-schema pickle with synthetic data for every subject."""
     processed = {
         s: generate_poses(n_per_subject, seed=seed + i)

@@ -3,6 +3,9 @@ data-parallel sharding logic is exercised without TPU hardware
 (SURVEY.md §4). Must run before the first jax import."""
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

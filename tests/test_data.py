@@ -8,7 +8,8 @@ from links_tpu.core.geometry import normalize_head, normalize_head_test
 def test_synthetic_schema(tmp_path):
     pkl = tmp_path / "synth.pkl"
     processed = data.write_synthetic_pickle(pkl, n_per_subject=16)
-    assert set(processed) == {"S1", "S5", "S6", "S7", "S8", "S9", "S11"}
+    # covers both the H36M (S1,S5-S8 / S9,S11) and MPI (S1-S8) subject sets
+    assert {"S1", "S5", "S6", "S7", "S8", "S9", "S11", "S2", "S3", "S4"} <= set(processed)
     for s, d in processed.items():
         assert d["poses_2d"].shape == (16, 17, 2)
         assert d["poses_3d"].shape == (16, 17, 3)
