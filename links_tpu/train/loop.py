@@ -28,7 +28,9 @@ def make_epoch_fn(step_fn: Callable, batch_size: int,
     coverage is identical), and scans the step.
     """
 
-    @partial(jax.jit, static_argnames=())
+    # donate the carried train state: params + optimizer moments update in
+    # place across epoch boundaries instead of being copied
+    @partial(jax.jit, donate_argnums=(0,))
     def epoch(state, data, key):
         n = data.shape[0]
         nb = n // batch_size

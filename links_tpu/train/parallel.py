@@ -91,6 +91,7 @@ def dp_epoch_fn(step_fn: Callable, batch_size: int, mesh: Mesh):
         epoch,
         in_shardings=(replicated(mesh), data_sharding(mesh), replicated(mesh)),
         out_shardings=(replicated(mesh), replicated(mesh)),
+        donate_argnums=(0,),
     )
 
 

@@ -83,9 +83,8 @@ def test_epoch_scan_matches_stepwise(rng):
     data = _poses(rng, 64)
     epoch_fn = train.make_epoch_fn(step, batch_size=16)
     key = jax.random.PRNGKey(5)
-    out_state, losses = epoch_fn(state, data, key)
 
-    # replicate on host
+    # replicate on host first (epoch_fn donates its state argument)
     n = 64
     k_perm, k_steps = jax.random.split(key)
     idx = jax.random.permutation(k_perm, n)
@@ -94,6 +93,8 @@ def test_epoch_scan_matches_stepwise(rng):
     st = state
     for i in range(4):
         st, aux = step(st, batches[i], step_keys[i])
+
+    out_state, losses = epoch_fn(state, data, key)
     np.testing.assert_allclose(
         np.asarray(out_state.params["global_offset"]),
         np.asarray(st.params["global_offset"]),
