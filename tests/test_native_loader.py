@@ -1,0 +1,74 @@
+import numpy as np
+import pytest
+
+from links_tpu.data import native_loader as nl
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    path = tmp_path_factory.mktemp("native") / "data.lnks"
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(1000, 34)).astype(np.float32)
+    nl.pack_dataset(path, data)
+    return path, data
+
+
+def test_native_builds():
+    assert nl.build_native(), "g++ toolchain present but native build failed"
+    assert nl.native_available()
+
+
+def test_pack_and_open(packed):
+    path, data = packed
+    ds = nl.PackedDataset(path)
+    assert ds.n_rows == 1000
+    assert ds.n_cols == 34
+    # identity permutation before shuffle
+    np.testing.assert_array_equal(ds.gather(0, 10), data[:10])
+    ds.close()
+
+
+def test_shuffle_gather_is_permutation(packed):
+    path, data = packed
+    ds = nl.PackedDataset(path)
+    ds.shuffle(seed=7)
+    got = ds.gather(0, 1000)
+    # same multiset of rows
+    np.testing.assert_allclose(
+        np.sort(got.sum(axis=1)), np.sort(data.sum(axis=1)), rtol=1e-6
+    )
+    assert not np.array_equal(got, data)  # actually shuffled
+    # deterministic in seed
+    ds2 = nl.PackedDataset(path)
+    ds2.shuffle(seed=7)
+    np.testing.assert_array_equal(ds2.gather(0, 1000), got)
+    ds.close()
+    ds2.close()
+
+
+def test_epoch_batches(packed):
+    path, data = packed
+    ds = nl.PackedDataset(path)
+    batches = list(ds.epoch_batches(batch_size=128, seed=1))
+    assert len(batches) == 7  # 1000 // 128, ragged tail dropped
+    assert all(b.shape == (128, 34) for b in batches)
+    ds.close()
+
+
+def test_gather_bounds(packed):
+    path, _ = packed
+    ds = nl.PackedDataset(path)
+    with pytest.raises((IndexError, OSError)):
+        ds.gather(990, 20)
+    ds.close()
+
+
+def test_multithreaded_gather_matches_single(packed):
+    path, _ = packed
+    ds1 = nl.PackedDataset(path, n_threads=1)
+    ds8 = nl.PackedDataset(path, n_threads=8)
+    ds1.shuffle(3)
+    ds8.shuffle(3)
+    np.testing.assert_array_equal(ds1.gather(0, 1000), ds8.gather(0, 1000))
+    ds1.close()
+    ds8.close()
