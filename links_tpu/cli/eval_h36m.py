@@ -53,12 +53,16 @@ def main(argv=None):
             legs, torso, test2d, args.depth
         )
 
-    results["pa_mpjpe"] = float(metrics.pa_mpjpe(test3d, pred).mean())
-    results["n_mpjpe"] = float(
-        metrics.n_mpjpe(test3d, pred, num_joints=17, root_joint=0).mean()
-    )
-    results["pck"] = float(metrics.pck(test3d, pred, num_joints=17, root_joint=0))
-    results["auc"] = float(metrics.auc(test3d, pred, num_joints=17, root_joint=0))
+    @jax.jit
+    def _all_metrics(gt, p):
+        return {
+            "pa_mpjpe": metrics.pa_mpjpe(gt, p).mean(),
+            "n_mpjpe": metrics.n_mpjpe(gt, p, num_joints=17, root_joint=0).mean(),
+            "pck": metrics.pck(gt, p, num_joints=17, root_joint=0),
+            "auc": metrics.auc(gt, p, num_joints=17, root_joint=0),
+        }
+
+    results.update({k: float(v) for k, v in _all_metrics(test3d, pred).items()})
 
     if args.occlusion:
         from links_tpu.objectives import occlusion as occ
@@ -71,12 +75,22 @@ def main(argv=None):
             "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
         }
         completers = C.load_params(args, C.OCCLUSION)
-        poses = occ.occlusion_validation_poses(completers, lifters, test2d, args.depth)
-        for name, p in poses.items():
-            results[f"pa_{name}"] = float(metrics.pa_mpjpe(test3d, p).mean())
-            results[f"n_mpjpe_{name}"] = float(
-                metrics.n_mpjpe(test3d, p, num_joints=17, root_joint=0).mean()
-            )
+
+        # model weights must be jit *arguments*: closure-captured arrays are
+        # baked into the HLO as constants and stall compilation
+        @jax.jit
+        def _occ_metrics(cs, ls, gt, p2d):
+            poses = occ.occlusion_validation_poses(cs, ls, p2d, args.depth)
+            out = {}
+            for name, p in poses.items():
+                out[f"pa_{name}"] = metrics.pa_mpjpe(gt, p).mean()
+                out[f"n_mpjpe_{name}"] = metrics.n_mpjpe(
+                    gt, p, num_joints=17, root_joint=0
+                ).mean()
+            return out
+
+        results.update({k: float(v) for k, v in
+                        _occ_metrics(completers, lifters, test3d, test2d).items()})
 
     if args.json:
         print(json.dumps(results))

@@ -20,7 +20,9 @@ def main(argv=None):
                         choices=["gt3d", "gt2d", "prediction", "occlusion", "samples"])
     parser.add_argument("--frame", type=int, default=0)
     parser.add_argument("--scenario", default="left",
-                        help="occlusion scenario (la/ra/ll/rl/torso/legs/left/right)")
+                        choices=["la", "ra", "ll", "rl", "torso", "legs",
+                                 "left", "right"],
+                        help="occlusion scenario")
     parser.add_argument("--flow", default=C.FULL_FLOW, help="flow artifact for --what samples")
     parser.add_argument("--depth", type=float, default=10.0)
     parser.add_argument("--out", default=None, help="output image path")

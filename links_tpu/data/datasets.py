@@ -59,13 +59,17 @@ def _load_pickle_subjects(file_name, subjects: Sequence[str], pose_3d_key: str):
 
 
 def _build(two_d, three_d, joints: int, normalize_func: Callable | None):
+    import jax
+
     # (N, J, 3) -> (N, 3J) in (3, J) layout (h36m_dataset_class.py:22)
     poses_3d = three_d.transpose(0, 2, 1).reshape(-1, 3 * joints)
+    # jit the one-shot normalization: eager per-op dispatch is pathologically
+    # slow on remote-tunneled TPU backends
     if normalize_func is not None:
         flat2d = two_d.transpose(0, 2, 1).reshape(-1, 2 * joints)
-        poses_2d = normalize_func(jnp.asarray(flat2d, jnp.float32))
+        poses_2d = jax.jit(normalize_func)(jnp.asarray(flat2d, jnp.float32))
     else:
-        poses_2d = normalize_maxabs(jnp.asarray(two_d, jnp.float32))
+        poses_2d = jax.jit(normalize_maxabs)(jnp.asarray(two_d, jnp.float32))
     return PoseDataset(
         poses_2d=jnp.asarray(poses_2d, jnp.float32),
         poses_3d=jnp.asarray(poses_3d, jnp.float32),

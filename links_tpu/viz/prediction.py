@@ -20,21 +20,27 @@ def _align_to_gt(gt_51, pred_51):
     display (h36m_prediction_visualiser.py aligns before rendering)."""
     from links_tpu.metrics import _procrustes_align_best
 
-    X = jnp.asarray(gt_51).reshape(3, 17).T
-    Y = jnp.asarray(pred_51).reshape(3, 17).T
-    Z = _procrustes_align_best(X, Y)
-    return np.asarray(Z.T).reshape(51)
+    @jax.jit
+    def _align(gt, pred):
+        X = gt.reshape(3, 17).T
+        Y = pred.reshape(3, 17).T
+        return _procrustes_align_best(X, Y).T.reshape(51)
+
+    return np.asarray(_align(jnp.asarray(gt_51), jnp.asarray(pred_51)))
 
 
 def visualise_prediction(stacked_lr_params, test_2d, test_3d, frame: int,
                          depth: float = 10.0, out_path=None):
     """Lift one frame with the left/right lifters and render GT vs aligned
     prediction. Returns (figure, pa_mpjpe_of_frame)."""
-    pred = lift_left_right_eval(stacked_lr_params, test_2d[frame : frame + 1],
-                                depth, "right")
+    # jit is essential here: the eager per-op path is pathologically slow on
+    # remote-tunneled TPU backends (one round trip per primitive)
+    pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3))(
+        stacked_lr_params, test_2d[frame : frame + 1], depth, "right"
+    )
     gt = np.asarray(test_3d[frame])
     aligned = _align_to_gt(gt, pred[0])
-    err = float(metrics.pa_mpjpe(test_3d[frame : frame + 1], pred)[0])
+    err = float(jax.jit(metrics.pa_mpjpe)(test_3d[frame : frame + 1], pred)[0])
     fig = compare_poses_3d(
         [gt, aligned],
         titles=["ground truth", f"prediction (PA-MPJPE {err:.1f}mm)"],
@@ -48,13 +54,13 @@ def visualise_occlusion(completers, lifters, test_2d, test_3d, frame: int,
                         out_path=None):
     """Render GT vs the completed pose for one occlusion scenario
     (la/ra/ll/rl/torso/legs/left/right)."""
-    poses = occlusion_validation_poses(
+    poses = jax.jit(occlusion_validation_poses, static_argnums=(3,))(
         completers, lifters, test_2d[frame : frame + 1], depth
     )
     pred = poses[scenario]
     gt = np.asarray(test_3d[frame])
     aligned = _align_to_gt(gt, pred[0])
-    err = float(metrics.pa_mpjpe(test_3d[frame : frame + 1], pred)[0])
+    err = float(jax.jit(metrics.pa_mpjpe)(test_3d[frame : frame + 1], pred)[0])
     fig = compare_poses_3d(
         [gt, aligned],
         titles=["ground truth",
