@@ -19,8 +19,10 @@ def save_checkpoint(path, state: Any, key=None, extra: dict | None = None,
     path = Path(path).absolute()
     payload = {"state": state}
     if key is not None:
-        payload["rng_key"] = jax.random.key_data(key) if jax.dtypes.issubdtype(
-            key.dtype, jax.dtypes.prng_key) else key
+        try:  # typed PRNG keys must be serialized as raw key data
+            payload["rng_key"] = jax.random.key_data(key)
+        except TypeError:
+            payload["rng_key"] = key
     if extra:
         payload["extra"] = extra
     with ocp.StandardCheckpointer() as ckptr:

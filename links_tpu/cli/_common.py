@@ -66,6 +66,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="additionally export reference-layout .pt files")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices in the data mesh (default: all)")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the stage's run checkpoint "
+                             "(params + optimizer state + epoch + RNG)")
     return parser
 
 
@@ -174,6 +177,32 @@ def load_params(path_or_args, name: str | None = None, pt_loader=None):
         assert pt_loader is not None
         return pt_loader(path)
     return ckpt.restore_checkpoint(path)["state"]["params"]
+
+
+def save_run(args, stage: str, state, key, next_epoch: int):
+    """Per-epoch run checkpoint: full TrainState + RNG + epoch counter —
+    deterministic mid-run resume, which the reference lacks entirely
+    (SURVEY.md §5: save-only torch.save of model weights)."""
+    ckpt.save_checkpoint(artifact(args, f"{stage}_run"), state, key=key,
+                         extra={"next_epoch": next_epoch})
+
+
+def maybe_resume(args, stage: str, state, key):
+    """→ (state, key, start_epoch); restores the run checkpoint when
+    --resume is set and one exists."""
+    path = artifact(args, f"{stage}_run")
+    if not getattr(args, "resume", False) or not path.exists():
+        return state, key, 0
+    payload = ckpt.restore_checkpoint(
+        path, target={"state": state, "rng_key": jax.random.key_data(key),
+                      "extra": {"next_epoch": 0}}
+    )
+    restored_key = ckpt.restore_rng_key(payload)
+    if restored_key is None:
+        restored_key = key
+    start = int(payload["extra"]["next_epoch"])
+    print(f"[links_tpu] resuming {stage} from epoch {start}")
+    return payload["state"], restored_key, start
 
 
 def make_logger(args, default_name: str):

@@ -49,8 +49,9 @@ def main(argv=None):
 
     mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    state, key, start_epoch = C.maybe_resume(args, "full_flow", state, key)
 
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
         rec = {k: float(v) for k, v in losses.items()}
@@ -60,6 +61,7 @@ def main(argv=None):
                                             if k != "epoch"))
         # save every epoch (reference saves per epoch, :115)
         C.save_flow(args, C.FULL_FLOW, flows.Flow(state.params, flow.perm))
+        C.save_run(args, "full_flow", state, key, epoch + 1)
     logger.close()
     return state
 

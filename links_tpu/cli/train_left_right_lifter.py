@@ -95,8 +95,9 @@ def main(argv=None):
         args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
     )
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
 
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
         rec = {k: float(v) for k, v in losses.items()}
@@ -108,6 +109,7 @@ def main(argv=None):
               f"pa_left={rec['pa_left']:.2f} pa_right={rec['pa_right']:.2f} "
               f"n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")
         C.save_params(args, C.LIFTER_LR, state.params)
+        C.save_run(args, "left_right", state, key, epoch + 1)
 
     if args.save_pt:
         from links_tpu import ckpt

@@ -85,8 +85,9 @@ def main(argv=None):
         args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
     )
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
 
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
         rec = {k: float(v) for k, v in losses.items()}
@@ -98,6 +99,7 @@ def main(argv=None):
               f"n-mpjpe={rec['mpjpe_scaled']:.2f} pck={rec['pck']:.2f}")
         C.save_params(args, C.LIFTER_LEGS, state.params["legs"])
         C.save_params(args, C.LIFTER_TORSO, state.params["torso"])
+        C.save_run(args, "leg_torso", state, key, epoch + 1)
 
     if args.save_pt:
         from links_tpu import ckpt

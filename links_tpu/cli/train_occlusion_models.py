@@ -75,8 +75,9 @@ def main(argv=None):
         args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
     )
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
 
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
         rec = {k: float(v) for k, v in losses.items()}
@@ -88,6 +89,7 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={rec['loss']:.4f} pa_left={rec['pa_left']:.2f} "
               f"pa_torso={rec['pa_torso']:.2f}")
         C.save_params(args, C.OCCLUSION, state.params)
+        C.save_run(args, "occlusion", state, key, epoch + 1)
 
     if args.save_pt:
         from links_tpu import ckpt

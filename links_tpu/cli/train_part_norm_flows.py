@@ -58,8 +58,9 @@ def main(argv=None):
 
     mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    state, key, start_epoch = C.maybe_resume(args, "part_flows", state, key)
 
-    for epoch in range(cfg.n_epochs):
+    for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
         rec = {k: float(v) for k, v in losses.items()}
@@ -68,6 +69,7 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={rec['loss']:.4f}")
         for name, art in _NAMES.items():
             C.save_flow(args, art, flows.Flow(state.params[name], perms[name]))
+        C.save_run(args, "part_flows", state, key, epoch + 1)
     logger.close()
     return state
 

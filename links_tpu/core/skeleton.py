@@ -123,6 +123,16 @@ def split_data_left_right_3d(data):
     return _split(data, 3, LEFT_IDX, RIGHT_IDX)
 
 
+def temporal_split_data_left_right(data):
+    """2-frame temporal variant: (B, 68) laid out (2 frames, 2 coords, 17)
+    → two (B, 44); reference utils/helpers.py:106-116 (defined but unused by
+    the five entry points — kept for API parity)."""
+    x = data.reshape(-1, 2, 2, NUM_JOINTS)
+    left = x[:, :, :, LEFT_IDX].reshape(-1, 44)
+    right = x[:, :, :, RIGHT_IDX].reshape(-1, 44)
+    return left, right
+
+
 def split_data_legs_torso(data):
     """(B, 34) → (legs (B,14), torso (B,20)); train_leg_torso_lifter.py:147-148."""
     x = data.reshape(-1, 2, NUM_JOINTS)

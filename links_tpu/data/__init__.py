@@ -3,6 +3,7 @@ from links_tpu.data.datasets import (  # noqa: F401
     TEST_SUBJECTS,
     TRAIN_SUBJECTS,
     PoseDataset,
+    fit_full_pose_pca,
     fit_part_pca,
     load_h36m,
     load_mpi_inf_3dhp,

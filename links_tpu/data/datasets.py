@@ -112,6 +112,19 @@ def fit_part_pca(poses_2d):
     return lp, rp
 
 
+def fit_full_pose_pca(poses_2d):
+    """Single full-pose PCA (reference H36M_Data_Original_PCA,
+    utils/h36m_dataset_class.py:118-174 — fit but unused by entry points).
+    Returns a fitted sklearn PCA or None when sklearn is unavailable."""
+    try:
+        from sklearn.decomposition import PCA
+    except ImportError:  # pragma: no cover
+        return None
+    pca = PCA()
+    pca.fit(np.asarray(poses_2d))
+    return pca
+
+
 def save_pickle(path, processed: dict):
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
