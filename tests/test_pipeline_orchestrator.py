@@ -1,0 +1,50 @@
+import json
+
+import numpy as np
+import pytest
+
+
+def test_run_pipeline_all_stages(tmp_path, capsys):
+    from links_tpu.cli.run_pipeline import main
+
+    ws = tmp_path
+    main([
+        "--stages", "1,2,3a,3b,4,eval",
+        "--data", str(ws / "synth.pkl"),
+        "--model-dir", str(ws / "models"),
+        "--synthetic", "--synthetic-n", "48",
+        "--epochs", "1", "--batch-size", "16", "--f32",
+        "--eval-args=--json",
+    ])
+    out = capsys.readouterr().out
+    # the eval stage's JSON line is the last json-parseable line
+    last = [l for l in out.splitlines() if l.startswith("{")][-1]
+    parsed = json.loads(last)
+    assert np.isfinite(parsed["pa_mpjpe"])
+    for name in ("full_flow", "flow_left", "lifter_legs", "occlusion_models"):
+        assert (ws / "models" / name).exists()
+
+
+def test_run_pipeline_rejects_unknown_stage(tmp_path):
+    from links_tpu.cli.run_pipeline import main
+
+    with pytest.raises(SystemExit):
+        main(["--stages", "1,bogus"])
+
+
+def test_run_pipeline_retries_then_fails(tmp_path, monkeypatch, capsys):
+    from links_tpu.cli import run_pipeline
+
+    calls = []
+
+    def broken_main(flags):
+        calls.append(list(flags))
+        raise RuntimeError("boom")
+
+    monkeypatch.setattr(run_pipeline, "_stage_main", lambda s: broken_main)
+    with pytest.raises(SystemExit):
+        run_pipeline.main(["--stages", "1", "--retries", "2"])
+    assert len(calls) == 3
+    # retry attempts pass --resume
+    assert "--resume" not in calls[0]
+    assert "--resume" in calls[1] and "--resume" in calls[2]
