@@ -25,7 +25,11 @@ def forward(flow: Flow, x, policy: nn.Policy = nn.F32):
     # derive the zero carry from x so its varying manual axes match under
     # shard_map (a plain jnp.zeros constant is unvarying and breaks the scan)
     init = (x, (x[..., 0] * 0.0).astype(jnp.float32))
-    (z, logdet), _ = jax.lax.scan(body, init, (flow.params, flow.perm))
+    # unroll: the 8 blocks are tiny matmul chains; unrolling lets XLA
+    # overlap them instead of serializing the scan (+17% on the full
+    # stage-3a train step, PERF.md)
+    (z, logdet), _ = jax.lax.scan(body, init, (flow.params, flow.perm),
+                                  unroll=True)
     return z, logdet
 
 
@@ -39,7 +43,8 @@ def inverse(flow: Flow, z, policy: nn.Policy = nn.F32):
         return (y, ld + j), None
 
     init = (z, (z[..., 0] * 0.0).astype(jnp.float32))
-    (x, logdet), _ = jax.lax.scan(body, init, (flow.params, flow.perm), reverse=True)
+    (x, logdet), _ = jax.lax.scan(body, init, (flow.params, flow.perm),
+                                  reverse=True, unroll=True)
     return x, logdet
 
 
