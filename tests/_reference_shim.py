@@ -81,6 +81,7 @@ def _pl_stub() -> types.ModuleType:
     class LightningModule(torch.nn.Module):
         _test_optimizers: list = []
         _test_schedulers: list = []
+        current_epoch: int = 0
 
         @property
         def device(self):

@@ -597,3 +597,130 @@ class TestStage3bTrainingStepParity:
         for k in ("leg_likeli", "torso_likeli", "likeli", "L3d", "rep_rot",
                   "re_rot_3d", "bl_prior", "loss"):
             close(aux[k], want[k], atol=1e-3, rtol=5e-4)
+
+
+class TestStage4TrainingStepParity:
+    """Differential for the occlusion-completer stage: the reference's
+    Limb_Predictor.training_step (train_occlusion_models.py:144-307) vs
+    occlusion_loss, with shared lifter/completer weights and injected
+    y-rotation draws."""
+
+    # reference attr name -> links_tpu completer name
+    NAME_MAP = {
+        "left_leg_predictor": "left_leg",
+        "right_leg_predictor": "right_leg",
+        "left_arm_predictor": "left_arm",
+        "right_arm_predictor": "right_arm",
+        "both_legs_predictor": "both_legs",
+        "torso_predictor": "torso",
+        "left_predictor": "left_side",
+        "right_predictor": "right_side",
+    }
+
+    @pytest.fixture(scope="class")
+    def mod(self):
+        return load_trainer_module(
+            "train_occlusion_models.py", r"^## load pretrained lifting networks")
+
+    def test_training_step_losses_match(self, mod, ref, rng, monkeypatch):
+        from links_tpu.objectives import occlusion as occ_obj
+
+        B = 8
+        inp = rng.normal(size=(B, 34)).astype(np.float32) * 0.1
+        inp.reshape(B, 2, 17)[:, :, 0] = 0.0
+
+        keys = jax.random.split(jax.random.PRNGKey(13), 3)
+        leg_p = models.init_lifter(keys[0], 7)
+        torso_p = models.init_lifter(keys[1], 10)
+        completers = models.init_all_completers(keys[2])
+
+        u1 = rng.uniform(size=(B, 1)).astype(np.float32)
+        u2 = rng.uniform(size=(B, 1)).astype(np.float32)
+
+        # ---- torch side ----
+        def make_lifter(cls, nj, params):
+            m = cls(num_joints=nj)
+            m.load_state_dict({k: _t(v) for k, v in
+                               ckpt.lifter_to_torch(params).items()})
+            return m
+
+        lit = mod.Limb_Predictor(
+            make_lifter(ref.models_def.Torso_Lifter, 10, torso_p),
+            make_lifter(ref.models_def.Leg_Lifter, 7, leg_p),
+            make_lifter(ref.models_def.Left_Right_Lifter, 11,
+                        models.init_lifter(jax.random.PRNGKey(99), 11)),
+            make_lifter(ref.models_def.Left_Right_Lifter, 11,
+                        models.init_lifter(jax.random.PRNGKey(98), 11)),
+        )
+        for attr, name in self.NAME_MAP.items():
+            sd = {k: _t(v) for k, v in
+                  ckpt.completer_to_torch(completers[name]).items()}
+            missing, unexpected = getattr(lit, attr).load_state_dict(
+                sd, strict=False)
+            assert not unexpected, (attr, unexpected)
+        opts, scheds = lit.configure_optimizers()
+        lit._test_optimizers = opts
+        lit._test_schedulers = scheds
+
+        draws = [_t(u1), _t(u2)]
+        monkeypatch.setattr(torch, "rand",
+                            lambda *size, **k: draws.pop(0))
+        lit.training_step({"p2d_gt": _t(inp)}, 0)
+        want = {k: float(v.detach()) for k, v in vars(lit.losses).items()}
+
+        # ---- jax side ----
+        pose_3d = occ_obj.pseudo_3d_from_lifters(leg_p, torso_p, jnp.asarray(inp))
+        jdraws = [jnp.asarray(u1), jnp.asarray(u2)]
+        monkeypatch.setattr(
+            occ_obj.jax.random, "uniform",
+            lambda key, shape, *a, **k: jdraws.pop(0),
+        )
+        loss, aux = occ_obj.occlusion_loss(
+            completers, pose_3d, jax.random.PRNGKey(0))
+        for k in ("threed_loss_left_arm", "threed_loss_right_arm",
+                  "threed_loss_left_leg", "threed_loss_right_leg",
+                  "threed_loss_left_side", "threed_loss_right_side",
+                  "threed_loss_both_legs", "threed_loss_torso", "loss"):
+            close(aux[k], want[k], atol=1e-3, rtol=5e-4)
+
+
+class TestEvalPathParity:
+    """The reference's validation_step (train_left_right_lifter.py:437-501 —
+    the same math as eval_h36m.py:50-100) vs lift_left_right_eval +
+    pa_mpjpe/n_mpjpe, with identical lifter weights."""
+
+    def test_validation_metrics_match(self, rng):
+        mod = load_trainer_module("train_left_right_lifter.py", r"^left_inn2d = ")
+        import links_tpu.objectives.lifter as lifter_obj
+
+        B = 12
+        p2d = rng.normal(size=(B, 34)).astype(np.float32) * 0.1
+        p2d.reshape(B, 2, 17)[:, :, 0] = 0.0
+        p3d = rng.normal(size=(B, 51)).astype(np.float32)
+
+        left_p = models.init_lifter(jax.random.PRNGKey(21), 11)
+        right_p = models.init_lifter(jax.random.PRNGKey(22), 11)
+
+        mod.Attention_Left_Right_Lifter = (
+            lambda **kw: mod.Left_Right_Lifter(
+                use_batchnorm=False, num_joints=kw.get("num_joints", 11),
+                use_dropout=False)
+        )
+        dummy_inn = type("D", (torch.nn.Module,), {"forward": lambda s, x: x})()
+        lit = mod.LitLifter(dummy_inn, dummy_inn, dummy_inn)
+        lit.left_lifter.load_state_dict(
+            {k: _t(v) for k, v in ckpt.lifter_to_torch(left_p).items()})
+        lit.right_lifter.load_state_dict(
+            {k: _t(v) for k, v in ckpt.lifter_to_torch(right_p).items()})
+        with torch.no_grad():
+            lit.validation_step({"p2d_gt": _t(p2d), "poses_3d": _t(p3d)}, 0)
+
+        stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), left_p, right_p)
+        for choice, pa_key, nm_key in (("left", "pa_left", "mpjpe_scaled_left"),
+                                       ("right", "pa_right", "mpjpe_scaled_right")):
+            pred = lifter_obj.lift_left_right_eval(
+                stacked, jnp.asarray(p2d), choice=choice)
+            pa = float(metrics.pa_mpjpe(jnp.asarray(p3d), pred).mean())
+            nm = float(metrics.n_mpjpe(jnp.asarray(p3d), pred).mean())
+            close(pa, float(getattr(lit.losses, pa_key)), atol=1e-4, rtol=1e-4)
+            close(nm, float(getattr(lit.losses, nm_key)), atol=1e-3, rtol=1e-4)
