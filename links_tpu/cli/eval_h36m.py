@@ -33,6 +33,7 @@ def main(argv=None):
                         help="also evaluate the 8 occlusion scenarios")
     parser.add_argument("--json", action="store_true", help="emit one JSON line")
     C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
     args = parser.parse_args(argv)
 
     _, test_data = C.load_train_test(args)
@@ -42,7 +43,7 @@ def main(argv=None):
 
     results = {}
     if args.mode == "left_right":
-        stacked = C.load_params(args, C.LIFTER_LR)
+        stacked = C.load_stacked_lr(args)
         pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3))(
             stacked, test2d, args.depth, args.choice
         )
@@ -67,7 +68,7 @@ def main(argv=None):
     if args.occlusion:
         from links_tpu.objectives import occlusion as occ
 
-        stacked = C.load_params(args, C.LIFTER_LR)
+        stacked = C.load_stacked_lr(args)
         lifters = {
             "left": jax.tree.map(lambda a: a[0], stacked),
             "right": jax.tree.map(lambda a: a[1], stacked),

@@ -46,6 +46,7 @@ def main(argv=None):
                         help="number of PCA bases")
     C.add_lifter_flags(parser)
     C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
     args = parser.parse_args(argv)
 
     cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
@@ -53,7 +54,7 @@ def main(argv=None):
 
     from links_tpu.ckpt import load_lifter_pt
 
-    stacked_lr = C.load_params(args, C.LIFTER_LR)
+    stacked_lr = C.load_stacked_lr(args)
     lifters = {
         "left": jax.tree.map(lambda a: a[0], stacked_lr),
         "right": jax.tree.map(lambda a: a[1], stacked_lr),

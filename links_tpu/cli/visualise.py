@@ -27,6 +27,7 @@ def main(argv=None):
     parser.add_argument("--depth", type=float, default=10.0)
     parser.add_argument("--out", default=None, help="output image path")
     C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
     args = parser.parse_args(argv)
 
     _, test_data = C.load_train_test(args)
@@ -44,14 +45,14 @@ def main(argv=None):
         ax.figure.savefig(out, dpi=120, bbox_inches="tight")
         plt.close(ax.figure)
     elif args.what == "prediction":
-        stacked = C.load_params(args, C.LIFTER_LR)
+        stacked = C.load_stacked_lr(args)
         _, err = viz.visualise_prediction(stacked, test2d, test3d, args.frame,
                                           args.depth, out_path=out)
         print(f"frame {args.frame}: PA-MPJPE {err:.2f}mm")
     elif args.what == "occlusion":
         from links_tpu.ckpt import load_lifter_pt
 
-        stacked = C.load_params(args, C.LIFTER_LR)
+        stacked = C.load_stacked_lr(args)
         lifters = {
             "left": jax.tree.map(lambda a: a[0], stacked),
             "right": jax.tree.map(lambda a: a[1], stacked),

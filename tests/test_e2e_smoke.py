@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with `pytest -m ""`
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

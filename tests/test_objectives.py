@@ -34,8 +34,8 @@ def _lr_setup(key=0):
     keys = jax.random.split(jax.random.PRNGKey(key), 5)
     stacked = jax.tree.map(
         lambda a, b: jnp.stack([a, b]),
-        models.init_lifter(keys[0], 11),
-        models.init_lifter(keys[1], 11),
+        models.init_lifter(keys[0], 11, hidden=HID),
+        models.init_lifter(keys[1], 11, hidden=HID),
     )
     frozen = LifterFrozen(
         full_flow=flows.init_flow(keys[2], 34, hidden=HID),
@@ -126,8 +126,8 @@ def test_left_right_loss_weights_compose(rng):
 
 def test_leg_torso_loss_finite(rng):
     keys = jax.random.split(jax.random.PRNGKey(7), 4)
-    leg = models.init_lifter(keys[0], 7)
-    torso = models.init_lifter(keys[1], 10)
+    leg = models.init_lifter(keys[0], 7, hidden=HID)
+    torso = models.init_lifter(keys[1], 10, hidden=HID)
     frozen = LifterFrozen(
         full_flow=flows.init_flow(keys[2], 34, hidden=HID),
         part_a=flows.init_flow(keys[3], 14, hidden=HID),
@@ -148,8 +148,8 @@ def test_lift_eval_shapes_and_depth(rng):
     # root depth must be exactly depth_offset (pred root pinned to 0)
     np.testing.assert_allclose(np.asarray(out).reshape(16, 3, 17)[:, 2, 0], 10.0, atol=1e-5)
 
-    leg = models.init_lifter(jax.random.PRNGKey(0), 7)
-    torso = models.init_lifter(jax.random.PRNGKey(1), 10)
+    leg = models.init_lifter(jax.random.PRNGKey(0), 7, hidden=HID)
+    torso = models.init_lifter(jax.random.PRNGKey(1), 10, hidden=HID)
     out2 = lift_leg_torso_eval(leg, torso, poses)
     assert out2.shape == (16, 51)
     np.testing.assert_allclose(np.asarray(out2).reshape(16, 3, 17)[:, 2, 0], 10.0, atol=1e-5)
@@ -173,9 +173,9 @@ def test_part_slices_cover_reference_layout(rng):
 
 
 def test_occlusion_loss_finite_and_sums(rng):
-    completers = models.init_all_completers(jax.random.PRNGKey(0))
-    leg = models.init_lifter(jax.random.PRNGKey(1), 7)
-    torso = models.init_lifter(jax.random.PRNGKey(2), 10)
+    completers = models.init_all_completers(jax.random.PRNGKey(0), hidden=HID)
+    leg = models.init_lifter(jax.random.PRNGKey(1), 7, hidden=HID)
+    torso = models.init_lifter(jax.random.PRNGKey(2), 10, hidden=HID)
     poses = _synthetic_poses(rng)
     pose3d = pseudo_3d_from_lifters(leg, torso, poses)
     assert pose3d.shape == (16, 3, 17)

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with `pytest -m ""`
+
 from links_tpu import flows, models, train
 from links_tpu.config import FlowTrainConfig, LifterTrainConfig
 from links_tpu.objectives import LifterFrozen, left_right_loss

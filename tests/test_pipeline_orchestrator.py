@@ -3,6 +3,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy; run with `pytest -m ""`
+
 
 def test_run_pipeline_all_stages(tmp_path, capsys):
     from links_tpu.cli.run_pipeline import main

@@ -430,6 +430,8 @@ class _INN(torch.nn.Module):
 
 
 class TestStage3aTrainingStepParity:
+    pytestmark = pytest.mark.slow  # loads + runs the reference trainer
+
     """Run the reference's ACTUAL LitLifter.training_step
     (train_left_right_lifter.py:121-435, loaded via the shim) against
     links_tpu's left_right_loss with identical weights, inputs, and injected
@@ -519,6 +521,8 @@ class TestStage3aTrainingStepParity:
 
 
 class TestStage3bTrainingStepParity:
+    pytestmark = pytest.mark.slow  # loads + runs the reference trainer
+
     """Same differential for the leg/torso lifter stage
     (train_leg_torso_lifter.py:123-272)."""
 
@@ -600,6 +604,8 @@ class TestStage3bTrainingStepParity:
 
 
 class TestStage4TrainingStepParity:
+    pytestmark = pytest.mark.slow  # loads + runs the reference trainer
+
     """Differential for the occlusion-completer stage: the reference's
     Limb_Predictor.training_step (train_occlusion_models.py:144-307) vs
     occlusion_loss, with shared lifter/completer weights and injected
@@ -685,6 +691,8 @@ class TestStage4TrainingStepParity:
 
 
 class TestEvalPathParity:
+    pytestmark = pytest.mark.slow  # loads + runs the reference trainer
+
     """The reference's validation_step (train_left_right_lifter.py:437-501 —
     the same math as eval_h36m.py:50-100) vs lift_left_right_eval +
     pa_mpjpe/n_mpjpe, with identical lifter weights."""

@@ -1,6 +1,9 @@
 """Deterministic mid-run resume: N epochs straight == k epochs + resume for
 the remaining N-k (params bitwise-comparable), through the real CLI."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy; run with `pytest -m ""`
 import numpy as np
 
 from links_tpu import ckpt

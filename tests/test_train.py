@@ -57,7 +57,7 @@ def test_lr_schedule_staircase():
 
 def test_full_flow_training_reduces_nll(rng):
     cfg = FlowTrainConfig(bf16=False)
-    flow = flows.init_flow(jax.random.PRNGKey(0), 34, hidden=128)
+    flow = flows.init_flow(jax.random.PRNGKey(0), 34, hidden=HID)
     optimizer = train.make_optimizer(cfg.optim, steps_per_epoch=4)
     step = train.build_full_flow_step(flow.perm, optimizer, cfg)
     state = train.init_state(flow.params, optimizer)
@@ -127,8 +127,8 @@ def test_left_right_step_trains(rng):
     keys = jax.random.split(jax.random.PRNGKey(0), 5)
     stacked = jax.tree.map(
         lambda a, b: jnp.stack([a, b]),
-        models.init_lifter(keys[0], 11),
-        models.init_lifter(keys[1], 11),
+        models.init_lifter(keys[0], 11, hidden=HID),
+        models.init_lifter(keys[1], 11, hidden=HID),
     )
     frozen = LifterFrozen(
         full_flow=flows.init_flow(keys[2], 34, hidden=HID),
@@ -153,9 +153,9 @@ def test_left_right_step_trains(rng):
 
 def test_occlusion_step_trains(rng):
     cfg = OcclusionTrainConfig(bf16=False)
-    completers = models.init_all_completers(jax.random.PRNGKey(0))
-    leg = models.init_lifter(jax.random.PRNGKey(1), 7)
-    torso = models.init_lifter(jax.random.PRNGKey(2), 10)
+    completers = models.init_all_completers(jax.random.PRNGKey(0), hidden=HID)
+    leg = models.init_lifter(jax.random.PRNGKey(1), 7, hidden=HID)
+    torso = models.init_lifter(jax.random.PRNGKey(2), 10, hidden=HID)
     optimizer = train.make_optimizer(cfg.optim, 2)
     step = jax.jit(train.build_occlusion_step(leg, torso, optimizer, cfg))
     state = train.init_state(completers, optimizer)
