@@ -54,6 +54,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--seed", type=int, default=42,
                         help="PRNG seed (reference: torch.manual_seed(42))")
+    parser.add_argument("--no-gt-2d", dest="gt_2d", action="store_false",
+                        default=True,
+                        help="train/eval on detector 2D keypoints "
+                             "(reference get_2dgt=False, "
+                             "utils/h36m_dataset_class.py:54-67); uses the "
+                             "pickle's poses_2d_pred arrays when present")
     parser.add_argument("--synthetic", action="store_true",
                         help="generate synthetic data at --data if missing (smoke runs)")
     parser.add_argument("--synthetic-n", type=int, default=512,
@@ -139,8 +145,10 @@ def load_train_test(args):
         train_subjects = tuple(args.train_subjects.split(","))
     if args.test_subjects:
         test_subjects = tuple(args.test_subjects.split(","))
-    train = loader(path, train_subjects, normalize_func=normalize_head)
-    test = loader(path, test_subjects, normalize_func=test_norm)
+    use_gt = getattr(args, "gt_2d", True)
+    train = loader(path, train_subjects, normalize_func=normalize_head,
+                   use_gt=use_gt)
+    test = loader(path, test_subjects, normalize_func=test_norm, use_gt=use_gt)
     return train, test
 
 
@@ -262,6 +270,8 @@ def resolve_cfg(args, cfg):
         kw["batch_size"] = args.batch_size
     if args.f32:
         kw["bf16"] = False
+    if not getattr(args, "gt_2d", True) and hasattr(cfg, "use_gt"):
+        kw["use_gt"] = False
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 

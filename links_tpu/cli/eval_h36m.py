@@ -31,6 +31,11 @@ def main(argv=None):
     parser.add_argument("--depth", type=float, default=10.0)
     parser.add_argument("--occlusion", action="store_true",
                         help="also evaluate the 8 occlusion scenarios")
+    parser.add_argument("--dropout", action="store_true",
+                        help="evaluate lifting under simulated 2D keypoint "
+                             "dropout: per scenario, zero the limb's "
+                             "keypoints, recover via completers, and compare "
+                             "against the naive no-completion lift")
     parser.add_argument("--json", action="store_true", help="emit one JSON line")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
@@ -65,7 +70,7 @@ def main(argv=None):
 
     results.update({k: float(v) for k, v in _all_metrics(test3d, pred).items()})
 
-    if args.occlusion:
+    if args.occlusion or args.dropout:
         from links_tpu.objectives import occlusion as occ
 
         stacked = C.load_stacked_lr(args)
@@ -76,6 +81,22 @@ def main(argv=None):
             "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
         }
         completers = C.load_params(args, C.OCCLUSION)
+
+    if args.dropout:
+        @jax.jit
+        def _dropout_metrics(cs, ls, gt, p2d):
+            out = {}
+            for name, (rec, naive) in occ.dropout_eval_poses(
+                    cs, ls, p2d, args.depth).items():
+                out[f"dropout_pa_{name}"] = metrics.pa_mpjpe(gt, rec).mean()
+                out[f"dropout_naive_pa_{name}"] = metrics.pa_mpjpe(gt, naive).mean()
+            return out
+
+        results.update({k: float(v) for k, v in
+                        _dropout_metrics(completers, lifters, test3d,
+                                         test2d).items()})
+
+    if args.occlusion:
 
         # model weights must be jit *arguments*: closure-captured arrays are
         # baked into the HLO as constants and stall compilation

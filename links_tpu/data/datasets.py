@@ -36,10 +36,15 @@ MPI_SUBJECTS = ("S1", "S2", "S3", "S4", "S5", "S6", "S7", "S8")
 
 @dataclass
 class PoseDataset:
-    """poses_2d (N,34) normalized + poses_3d (N,51), both device-resident."""
+    """poses_2d (N,34) normalized + poses_3d (N,51), both device-resident.
+
+    ``use_gt`` mirrors the reference's ``get_2dgt`` switch
+    (utils/h36m_dataset_class.py:54-67): when False the 2D keypoints are
+    detector predictions and samples carry the ``p2d_pred`` key."""
 
     poses_2d: jnp.ndarray
     poses_3d: jnp.ndarray
+    use_gt: bool = True
 
     def __len__(self) -> int:
         return int(self.poses_3d.shape[0])
@@ -47,18 +52,28 @@ class PoseDataset:
     def __getitem__(self, idx):
         """Dict access mirroring the reference's sample dicts
         (utils/h36m_dataset_class.py:54-67)."""
-        return {"p2d_gt": self.poses_2d[idx], "poses_3d": self.poses_3d[idx]}
+        key = "p2d_gt" if self.use_gt else "p2d_pred"
+        return {key: self.poses_2d[idx], "poses_3d": self.poses_3d[idx]}
 
 
-def _load_pickle_subjects(file_name, subjects: Sequence[str], pose_3d_key: str):
+def _load_pickle_subjects(file_name, subjects: Sequence[str], pose_3d_key: str,
+                          use_gt: bool = True):
     with open(file_name, "rb") as f:
         data = pickle.load(f)
-    two_d = np.concatenate([np.asarray(data[s]["poses_2d"]) for s in subjects])
+    # detector-keypoint path (reference get_2dgt=False): prefer a
+    # 'poses_2d_pred' array when the pickle carries one; the reference keeps
+    # GT and detector keypoints in separate pickles under the same key, so
+    # plain 'poses_2d' remains the fallback either way.
+    key_2d = "poses_2d"
+    if not use_gt and all("poses_2d_pred" in data[s] for s in subjects):
+        key_2d = "poses_2d_pred"
+    two_d = np.concatenate([np.asarray(data[s][key_2d]) for s in subjects])
     three_d = np.concatenate([np.asarray(data[s][pose_3d_key]) for s in subjects])
     return two_d, three_d
 
 
-def _build(two_d, three_d, joints: int, normalize_func: Callable | None):
+def _build(two_d, three_d, joints: int, normalize_func: Callable | None,
+           use_gt: bool = True):
     import jax
 
     # (N, J, 3) -> (N, 3J) in (3, J) layout (h36m_dataset_class.py:22)
@@ -73,25 +88,30 @@ def _build(two_d, three_d, joints: int, normalize_func: Callable | None):
     return PoseDataset(
         poses_2d=jnp.asarray(poses_2d, jnp.float32),
         poses_3d=jnp.asarray(poses_3d, jnp.float32),
+        use_gt=use_gt,
     )
 
 
 def load_h36m(file_name, subjects: Sequence[str] = TRAIN_SUBJECTS, joints: int = 17,
-              normalize_func: Callable | None = None) -> PoseDataset:
+              normalize_func: Callable | None = None,
+              use_gt: bool = True) -> PoseDataset:
     """H36M loader (utils/h36m_dataset_class.py:8-48). ``normalize_func`` is
     typically ``normalize_head`` (train) or ``normalize_head_test`` (test)
-    per train_left_right_lifter.py:544-547."""
-    two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d")
-    return _build(two_d, three_d, joints, normalize_func)
+    per train_left_right_lifter.py:544-547. ``use_gt=False`` selects the
+    detector-keypoint path (get_2dgt=False, h36m_dataset_class.py:54-67)."""
+    two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d", use_gt)
+    return _build(two_d, three_d, joints, normalize_func, use_gt)
 
 
 def load_mpi_inf_3dhp(file_name, subjects: Sequence[str] = MPI_SUBJECTS,
                       joints: int = 17,
-                      normalize_func: Callable | None = None) -> PoseDataset:
+                      normalize_func: Callable | None = None,
+                      use_gt: bool = True) -> PoseDataset:
     """MPI-INF-3DHP loader — uses the universal 3D ground truth
     (utils/h36m_dataset_class.py:69-114, mpi_inf_3dhp_dataset_class.py:8-64)."""
-    two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d_univ")
-    return _build(two_d, three_d, joints, normalize_func)
+    two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d_univ",
+                                           use_gt)
+    return _build(two_d, three_d, joints, normalize_func, use_gt)
 
 
 def fit_part_pca(poses_2d):

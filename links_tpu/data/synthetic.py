@@ -72,8 +72,13 @@ def generate_poses(n: int, seed: int = 0):
     cam[:, :, 1] += rng.normal(scale=150.0, size=(n, 1))
 
     p2d = FOCAL * cam[:, :, :2] / cam[:, :, 2:3]
+    # simulated detector output: GT keypoints + pixel noise (stands in for
+    # the reference's OpenPose-detection pickles; consumed by the
+    # get_2dgt=False / --no-gt-2d path)
+    p2d_pred = p2d + rng.normal(scale=3.0, size=p2d.shape)
     return {
         "poses_2d": p2d.astype(np.float32),
+        "poses_2d_pred": p2d_pred.astype(np.float32),
         "poses_3d": cam.astype(np.float32),
         "poses_3d_univ": cam.astype(np.float32),
     }

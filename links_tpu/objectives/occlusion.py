@@ -198,6 +198,58 @@ def occlusion_validation_poses(completers, lifters, test_2d, depth: float = 10.0
     }
 
 
+# Joints zeroed per dropout scenario (keys match the 8 completer scenarios
+# of occlusion_validation_poses). Limb scenarios use the reference's
+# occlusion_create keypoint sets at full count (utils/helpers.py:313-340);
+# side/legs/torso scenarios drop the whole part.
+DROPOUT_SCENARIO_JOINTS = {
+    "ll": (4, 5, 6),
+    "rl": (1, 2, 3),
+    "la": (11, 12, 13),
+    "ra": (14, 15, 16),
+    "legs": (1, 2, 3, 4, 5, 6),
+    "torso": (7, 8, 9, 10, 11, 12, 13, 14, 15, 16),
+    "left": (4, 5, 6, 11, 12, 13),
+    "right": (1, 2, 3, 14, 15, 16),
+}
+
+
+def drop_keypoints(poses_2d, joints):
+    """Zero the given joints in a (B,34) batch — deterministic full-limb
+    variant of occlusion_create (helpers.py:313-340) for scenario evals."""
+    mask = jnp.ones((17,), poses_2d.dtype).at[jnp.asarray(joints)].set(0.0)
+    return (poses_2d.reshape(-1, 2, 17) * mask).reshape(-1, 34)
+
+
+def dropout_eval_poses(completers, lifters, test_2d, depth: float = 10.0,
+                       policy: nn.Policy = nn.F32):
+    """Lifting under simulated 2D keypoint dropout (BASELINE.md's dropout
+    config; the paper's occlusion-handling claim).
+
+    For each scenario the dropped limb's keypoints are zeroed in the 2D
+    input, the partial pose is lifted by lifters that never see the dropped
+    joints, and the completer infills the missing 3D part
+    (occlusion_validation_poses routing, train_occlusion_models.py:317-399).
+    Returns {scenario: (recovered (B,51), naive (B,51))} where ``naive`` is
+    the full left/right lift of the corrupted 2D — the no-completion
+    baseline the paper improves on.
+    """
+    from links_tpu.objectives.lifter import lift_left_right_eval
+
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]), lifters["left"], lifters["right"]
+    )
+    out = {}
+    for name, joints in DROPOUT_SCENARIO_JOINTS.items():
+        occluded = drop_keypoints(test_2d, joints)
+        recovered = occlusion_validation_poses(
+            completers, lifters, occluded, depth, policy
+        )[name]
+        naive = lift_left_right_eval(stacked, occluded, depth, "right", policy)
+        out[name] = (recovered, naive)
+    return out
+
+
 def occlusion_loss(completers, pose_3d, key, policy: nn.Policy = nn.F32):
     """Full stage-4 loss: MSE over identity + two cumulative random
     y-rotations (train_occlusion_models.py:213-296). Returns (loss, aux)

@@ -95,30 +95,59 @@ def dp_epoch_fn(step_fn: Callable, batch_size: int, mesh: Mesh):
     )
 
 
+def make_shard_grad_fn(loss_fn: Callable):
+    """The per-shard gradient function dp_shard_map_step runs inside
+    shard_map: (params, local_batch, key) → (global grads, pmean'd aux).
+
+    Differentiates the GLOBAL scalar (pmean of per-shard losses): its
+    gradient w.r.t. the replicated params is exactly the global-batch
+    gradient. Do NOT grad the local loss and pmean afterwards — under
+    vma-aware autodiff (jax ≥ 0.9) the transpose of the params broadcast
+    already psums cotangents across shards, so that recipe over-scales
+    gradients by the axis size (caught by test_shard_map_matches_gspmd).
+    """
+
+    def shard_step(params, local_batch, k):
+        # decorrelate per-shard randomness (rotations, sample noise)
+        k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+
+        def global_loss(p):
+            loss, aux = loss_fn(p, local_batch, k)
+            return jax.lax.pmean(loss, "data"), aux
+
+        (_, aux), grads = jax.value_and_grad(global_loss, has_aux=True)(params)
+        aux = jax.lax.pmean(aux, "data")
+        return grads, aux
+
+    return shard_step
+
+
 def dp_shard_map_step(loss_fn: Callable, optimizer, mesh: Mesh):
     """Explicit-collective DP step via shard_map.
 
     ``loss_fn(params, batch, key) -> (loss, aux)`` runs per shard on the
     local batch slice; gradients (and logged aux values) are psum-meaned
-    over the 'data' axis before a replicated optimizer update. Numerically
-    this matches the global-batch gradient because every per-sample loss in
-    the pipeline is a batch mean.
+    over the 'data' axis before a replicated optimizer update.
+
+    Gradient semantics vs the global batch: every per-sample loss term is a
+    batch mean over equal shard sizes, and the pairwise-deformation pairs
+    never straddle shard boundaries (shards are contiguous blocks of even
+    length), so psum-of-shard-means equals the global mean for those terms.
+    The one genuinely global quantity is the elevation sampler's batch
+    statistics (objectives/lifter.py `_batch_stats`): the stage-3 losses
+    must be built with ``axis_name='data'`` so mean/std reduce over the mesh
+    — then the deterministic part of the gradient equals the global-batch
+    gradient exactly (tests/test_parallel.py::test_shard_map_matches_gspmd).
+    RNG draws (rotations, sample noise) are per-shard fold_in realizations:
+    identical distribution, different realization than the GSPMD path.
     """
     shard_map = jax.shard_map
 
     import links_tpu.train.steps as steps
 
-    def step(state: steps.TrainState, batch, key):
-        def shard_step(params, local_batch, k):
-            # decorrelate per-shard randomness (rotations, sample noise)
-            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, local_batch, k
-            )
-            grads = jax.lax.pmean(grads, "data")
-            aux = jax.lax.pmean(aux, "data")
-            return grads, aux
+    shard_step = make_shard_grad_fn(loss_fn)
 
+    def step(state: steps.TrainState, batch, key):
         grads, aux = shard_map(
             shard_step,
             mesh=mesh,

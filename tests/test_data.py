@@ -43,6 +43,24 @@ def test_getitem_dict(tmp_path):
     assert sample["p2d_gt"].shape == (34,)
 
 
+def test_p2d_pred_path(tmp_path):
+    """get_2dgt=False parity (utils/h36m_dataset_class.py:54-67): samples
+    carry p2d_pred and the 2D input switches to the detector keypoints."""
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=8)
+    gt = data.load_h36m(pkl, subjects=("S1",), normalize_func=normalize_head)
+    pred = data.load_h36m(pkl, subjects=("S1",), normalize_func=normalize_head,
+                          use_gt=False)
+    sample = pred[2]
+    assert set(sample) == {"p2d_pred", "poses_3d"}
+    # detector keypoints are noisy GT — close but not equal after normalize
+    a, b = np.asarray(gt.poses_2d), np.asarray(pred.poses_2d)
+    assert not np.allclose(a, b)
+    assert np.abs(a - b).max() < 0.1
+    # 3D ground truth unchanged
+    np.testing.assert_allclose(np.asarray(gt.poses_3d), np.asarray(pred.poses_3d))
+
+
 def test_maxabs_fallback(tmp_path):
     pkl = tmp_path / "synth.pkl"
     data.write_synthetic_pickle(pkl, n_per_subject=8)

@@ -80,6 +80,42 @@ def test_stage5_eval(workspace, capsys):
     # leg/torso eval path
     results_lt = main(_args(workspace, ["--mode", "leg_torso", "--json"]))
     assert np.isfinite(results_lt["pa_mpjpe"])
+    # simulated keypoint-dropout eval (BASELINE.md dropout config)
+    results_dp = main(_args(workspace, ["--dropout", "--json"]))
+    for name in ("la", "ra", "ll", "rl", "torso", "legs", "left", "right"):
+        assert np.isfinite(results_dp[f"dropout_pa_{name}"]), name
+        assert np.isfinite(results_dp[f"dropout_naive_pa_{name}"]), name
+
+
+def test_no_gt_2d_variant(workspace):
+    """Detector-keypoint path (--no-gt-2d ⇒ reference get_2dgt=False):
+    stage 3a trains and eval runs on the pickle's poses_2d_pred arrays."""
+    from links_tpu.cli.eval_h36m import main as eval_main
+    from links_tpu.cli.train_left_right_lifter import main as train_main
+
+    state = train_main(_args(workspace, ["--no-gt-2d"]))
+    assert int(state.step) > 0
+    res = eval_main(_args(workspace, ["--no-gt-2d", "--json"]))
+    assert np.isfinite(res["pa_mpjpe"])
+    # detector keypoints differ from GT ⇒ so must the metric
+    res_gt = eval_main(_args(workspace, ["--json"]))
+    assert res["pa_mpjpe"] != res_gt["pa_mpjpe"]
+
+
+def test_mpi_inf_3dhp_variant(workspace):
+    """MPI-INF-3DHP end-to-end (VERDICT r1 missing #6): --dataset mpi routes
+    through poses_3d_univ GT + the mpi_vnect normalization
+    (utils/mpi_inf_3dhp_dataset_class.py:8-64) and eval reports PCK/AUC."""
+    from links_tpu.cli.eval_h36m import main as eval_main
+    from links_tpu.cli.train_leg_torso_lifter import main as train_main
+
+    mpi = ["--dataset", "mpi", "--test-norm", "mpi_vnect"]
+    train_main(_args(workspace, mpi))
+    res = eval_main(_args(workspace, mpi + ["--mode", "leg_torso", "--json"]))
+    for k in ("pa_mpjpe", "n_mpjpe", "pck", "auc"):
+        assert np.isfinite(res[k]), k
+    assert 0.0 <= res["pck"] <= 100.0
+    assert 0.0 <= res["auc"] <= 1.0
 
 
 def test_metrics_logged(workspace):

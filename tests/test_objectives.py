@@ -172,6 +172,43 @@ def test_part_slices_cover_reference_layout(rng):
     )
 
 
+def test_dropout_eval_recovers_missing_limb(rng):
+    """The dropout eval path never feeds the dropped keypoints to the
+    lifters that build a scenario's input: recovered poses must be identical
+    whether the dropped limb's 2D keypoints are zeroed or not."""
+    from links_tpu.objectives.occlusion import (
+        DROPOUT_SCENARIO_JOINTS,
+        drop_keypoints,
+        dropout_eval_poses,
+        occlusion_validation_poses,
+    )
+
+    completers = models.init_all_completers(jax.random.PRNGKey(0), hidden=HID)
+    lifters = {
+        "left": models.init_lifter(jax.random.PRNGKey(1), 11, hidden=HID),
+        "right": models.init_lifter(jax.random.PRNGKey(2), 11, hidden=HID),
+        "legs": models.init_lifter(jax.random.PRNGKey(3), 7, hidden=HID),
+        "torso": models.init_lifter(jax.random.PRNGKey(4), 10, hidden=HID),
+    }
+    poses = _synthetic_poses(rng, n=8)
+    clean = occlusion_validation_poses(completers, lifters, poses)
+    dropped = dropout_eval_poses(completers, lifters, poses)
+    assert set(dropped) == set(DROPOUT_SCENARIO_JOINTS)
+    for name, (recovered, naive) in dropped.items():
+        np.testing.assert_allclose(
+            np.asarray(recovered), np.asarray(clean[name]), atol=1e-5,
+            err_msg=name,
+        )
+        # the naive full lift DOES see the zeros — it must differ
+        assert not np.allclose(np.asarray(naive), np.asarray(clean[name]))
+
+    # drop_keypoints zeroes exactly the requested joints
+    occ2d = drop_keypoints(poses, (4, 5, 6))
+    o = np.asarray(occ2d).reshape(-1, 2, 17)
+    np.testing.assert_allclose(o[:, :, 4:7], 0.0)
+    np.testing.assert_allclose(o[:, :, 7:], np.asarray(poses).reshape(-1, 2, 17)[:, :, 7:])
+
+
 def test_occlusion_loss_finite_and_sums(rng):
     completers = models.init_all_completers(jax.random.PRNGKey(0), hidden=HID)
     leg = models.init_lifter(jax.random.PRNGKey(1), 7, hidden=HID)
