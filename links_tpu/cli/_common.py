@@ -66,6 +66,9 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="synthetic poses per subject")
     parser.add_argument("--f32", action="store_true",
                         help="disable bf16 matmuls (full f32)")
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas res_block kernel "
+                             "(measured win at batch <=1k only, PERF.md)")
     parser.add_argument("--log", default=None, help="JSONL metrics path")
     parser.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
     parser.add_argument("--save-pt", action="store_true",
@@ -272,6 +275,8 @@ def resolve_cfg(args, cfg):
         kw["bf16"] = False
     if not getattr(args, "gt_2d", True) and hasattr(cfg, "use_gt"):
         kw["use_gt"] = False
+    if getattr(args, "pallas", False) and hasattr(cfg, "pallas"):
+        kw["pallas"] = True
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 

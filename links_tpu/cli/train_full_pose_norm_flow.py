@@ -28,6 +28,11 @@ def main(argv=None):
     # reference flag (train_full_pose_norm_flow.py:22-23)
     parser.add_argument("-n", "--num_keypoints", type=int, default=34,
                         help="number of keypoints")
+    parser.add_argument("--packed-data", default=None,
+                        help="stream train batches from a packed LNKS file "
+                             "through the native C++ loader (the "
+                             "larger-than-HBM path; data/native_loader.py). "
+                             "Packed from --data on first use.")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -48,8 +53,12 @@ def main(argv=None):
     state = init_state(flow.params, optimizer)
 
     mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
-    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "full_flow", state, key)
+
+    if args.packed_data:
+        epoch_fn = _packed_epoch_fn(args, cfg, step, train_data, mesh)
+    else:
+        epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
@@ -64,6 +73,38 @@ def main(argv=None):
         C.save_run(args, "full_flow", state, key, epoch + 1)
     logger.close()
     return state
+
+
+def _packed_epoch_fn(args, cfg, step, train_data, mesh):
+    """Epoch driver streaming host batches from the native packed loader
+    (larger-than-HBM datasets): the C++ thread pool gathers each shuffled
+    batch while the device runs the previous step. Same step function and
+    mesh sharding as the device-resident scan; only the feed differs."""
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from links_tpu.data import native_loader
+    from links_tpu.train import parallel
+
+    ppath = Path(args.packed_data)
+    if not ppath.exists():
+        ppath.parent.mkdir(parents=True, exist_ok=True)
+        native_loader.pack_dataset(ppath, np.asarray(train_data.poses_2d))
+    packed = native_loader.PackedDataset(ppath)
+    dp_step = parallel.dp_jit_step(step, mesh)
+
+    def epoch_fn(state, _unused_device_data, key):
+        losses = None
+        for i, batch in enumerate(
+                packed.epoch_batches(cfg.batch_size, int(key[-1]) & 0x7FFFFFFF)):
+            key, sub = jax.random.split(key)
+            sharded = parallel.shard_batch(jnp.asarray(batch), mesh)
+            state, losses = dp_step(state, sharded, sub)
+        return state, losses
+
+    return epoch_fn
 
 
 if __name__ == "__main__":

@@ -62,6 +62,7 @@ class LifterTrainConfig:
     use_gt: bool = True
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
+    pallas: bool = False  # fused res_block kernel (ops/pallas_resblock.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,3 +74,4 @@ class OcclusionTrainConfig:
     depth: float = 10.0
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
+    pallas: bool = False

@@ -51,7 +51,21 @@ def init_res_block(key, num_neurons: int = HIDDEN, use_layernorm: bool = False):
 def res_block_apply(p, x, policy: nn.Policy = nn.F32, *,
                     dropout_rate: float = 0.0, key: Optional[jax.Array] = None,
                     deterministic: bool = True):
-    """models_def.py:23-39 — two Linear+LeakyReLU with a residual skip."""
+    """models_def.py:23-39 — two Linear+LeakyReLU with a residual skip.
+
+    With ``policy.pallas`` (and no layernorm/dropout) the block runs as one
+    fused Pallas kernel: both matmuls, activations and the residual add in a
+    single VMEM-resident pass (ops/pallas_resblock.py)."""
+    if policy.pallas and "ln1" not in p and not dropout_rate:
+        from links_tpu.ops import fused_res_block
+
+        cd = policy.compute_dtype
+        y = fused_res_block(
+            x.astype(cd), p["l1"]["w"].astype(cd), p["l1"]["b"],
+            p["l2"]["w"].astype(cd), p["l2"]["b"],
+            256, jax.default_backend() != "tpu",
+        )
+        return y.astype(policy.output_dtype)
     h = nn.dense(p["l1"], x, policy)
     if "ln1" in p:
         h = nn.layernorm(p["ln1"], h)

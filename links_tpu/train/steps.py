@@ -36,8 +36,13 @@ def init_state(params, optimizer) -> TrainState:
     return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
 
-def _policy(bf16: bool) -> nn.Policy:
-    return nn.BF16 if bf16 else nn.F32
+def _policy(cfg) -> nn.Policy:
+    import jax.numpy as _jnp
+
+    return nn.Policy(
+        compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
+        pallas=getattr(cfg, "pallas", False),
+    )
 
 
 def _make_step(loss_fn: Callable, optimizer) -> Callable:
@@ -59,7 +64,7 @@ def build_full_flow_step(perm, optimizer, cfg: FlowTrainConfig):
     """Stage 1: full-pose flow NLL + self-sample NLL
     (train_full_pose_norm_flow.py:67-98). ``perm`` is the flow's fixed
     mixing stack — non-trainable, threaded as a closure constant."""
-    policy = _policy(cfg.bf16)
+    policy = _policy(cfg)
 
     def loss_fn(params, batch, key):
         return flow_nll.full_flow_loss(params, perm, batch, key,
@@ -72,7 +77,7 @@ def build_part_flows_step(part_perms, full_flow: flows.Flow, optimizer,
                           cfg: PartFlowTrainConfig):
     """Stage 2: four part flows against real data + frozen-full-flow samples
     (train_leg_torso_left_right_norm_flow.py:100-176)."""
-    policy = _policy(cfg.bf16)
+    policy = _policy(cfg)
 
     def loss_fn(params, batch, key):
         return flow_nll.part_flows_loss(params, part_perms, full_flow, batch,
@@ -87,7 +92,7 @@ def build_left_right_step(frozen: lifter_obj.LifterFrozen, optimizer,
     (train_left_right_lifter.py:121-427). ``state.params`` is the (left,
     right) lifter stack. The batch is augmented with frozen-flow samples
     inside the step (so the whole thing is one device program)."""
-    policy = _policy(cfg.bf16)
+    policy = _policy(cfg)
 
     def loss_fn(params, batch, key):
         k_sample, k_rot = jax.random.split(key)
@@ -105,7 +110,7 @@ def build_leg_torso_step(frozen: lifter_obj.LifterFrozen, optimizer,
                          cfg: LifterTrainConfig, bone_relations_mean=None):
     """Stage 3b (train_leg_torso_lifter.py:123-277). ``state.params`` is
     {'legs': ..., 'torso': ...}."""
-    policy = _policy(cfg.bf16)
+    policy = _policy(cfg)
 
     def loss_fn(params, batch, key):
         k_sample, k_rot = jax.random.split(key)
@@ -125,7 +130,7 @@ def build_occlusion_step(leg_params, torso_params, optimizer,
     """Stage 4: 8 completers against frozen leg/torso pseudo-3D
     (train_occlusion_models.py:144-307). ``state.params`` is the completer
     dict from ``init_all_completers``."""
-    policy = _policy(cfg.bf16)
+    policy = _policy(cfg)
 
     def loss_fn(params, batch, key):
         pose_3d = occ_obj.pseudo_3d_from_lifters(
