@@ -41,6 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_SLOPE = 0.01
 DEFAULT_TILE_B = 256
+# the backward kernel's VMEM working set (w1, w2, dw1, dw2 blocks + tiles,
+# double-buffered) exceeds Mosaic's 16M default scoped-vmem budget at
+# D=1024, especially under vmap; v5e has 128M VMEM per core
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _lrelu(x):
@@ -87,10 +91,10 @@ def _bwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, dy_ref,
 
     dw1_ref[:] += jnp.dot(x.T, g1.astype(x.dtype),
                           preferred_element_type=jnp.float32)
-    db1_ref[:] += g1.sum(axis=0)
+    db1_ref[:] += g1.sum(axis=0, keepdims=True)
     dw2_ref[:] += jnp.dot(h.astype(x.dtype).T, g2.astype(x.dtype),
                           preferred_element_type=jnp.float32)
-    db2_ref[:] += g2.sum(axis=0)
+    db2_ref[:] += g2.sum(axis=0, keepdims=True)
 
 
 def _pad_batch(x, tile_b):
@@ -102,13 +106,16 @@ def _pad_batch(x, tile_b):
 
 
 def _specs(tile_b, d, h):
-    """in_specs for (x, w1, b1, w2, b2) with weights pinned to one block."""
+    """in_specs for (x, w1, b1, w2, b2) with weights pinned to one block.
+    Biases travel as (1, h)/(1, d) blocks — Mosaic requires >=2-D blocks
+    whose trailing dims tile to (8, 128), and 2-D biases also keep the
+    vmap batching rule lowerable on real TPU."""
     return [
         pl.BlockSpec((tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
 
 
@@ -130,8 +137,9 @@ def _forward(x, w1, b1, w2, b2, tile_b, interpret):
         out_specs=pl.BlockSpec((tile_b, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xp.shape, x.dtype),
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(xp, w1, b1, w2, b2)
+    )(xp, w1, b1.reshape(1, h), w2, b2.reshape(1, d))
     return y[:b]
 
 
@@ -153,16 +161,16 @@ def _bwd_rule(tile_b, interpret, res, dy):
     out_shapes = (
         jax.ShapeDtypeStruct(xp.shape, x.dtype),            # dx
         jax.ShapeDtypeStruct((d, h), jnp.float32),           # dw1
-        jax.ShapeDtypeStruct((h,), jnp.float32),             # db1
+        jax.ShapeDtypeStruct((1, h), jnp.float32),           # db1
         jax.ShapeDtypeStruct((h, d), jnp.float32),           # dw2
-        jax.ShapeDtypeStruct((d,), jnp.float32),             # db2
+        jax.ShapeDtypeStruct((1, d), jnp.float32),           # db2
     )
     out_specs = (
         pl.BlockSpec((tile_b, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((d, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((h,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((h, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
     )
     dx, dw1, db1, dw2, db2 = pl.pallas_call(
         _bwd_kernel,
@@ -172,10 +180,11 @@ def _bwd_rule(tile_b, interpret, res, dy):
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
         interpret=interpret,
-    )(xp, w1, b1, w2, b2, dyp)
-    return (dx[:b], dw1.astype(w1.dtype), db1.astype(b1.dtype),
-            dw2.astype(w2.dtype), db2.astype(b2.dtype))
+    )(xp, w1, b1.reshape(1, h), w2, b2.reshape(1, d), dyp)
+    return (dx[:b], dw1.astype(w1.dtype), db1.reshape(h).astype(b1.dtype),
+            dw2.astype(w2.dtype), db2.reshape(d).astype(b2.dtype))
 
 
 fused_res_block.defvjp(_fwd_rule, _bwd_rule)
