@@ -1,12 +1,20 @@
 """Benchmark driver: prints ONE JSON line
-``{"metric", "value", "unit", "vs_baseline"}``.
+``{"metric", "value", "unit", "vs_baseline"}`` (the flagship stage-3a
+number, always the LAST line printed).
 
-Metric: poses/sec/chip of the flagship stage-3a train step (left+right
+Flagship metric: poses/sec/chip of the stage-3a train step (left+right
 lifters + three frozen flows + all five losses + Adam), the BASELINE.json
 parity config, at the reference batch size (256 loader rows per step).
 Steady-state throughput is measured by scanning many steps in one device
 program (links_tpu/train/loop.py), mirroring how the framework actually
 trains.
+
+``--all`` additionally prints one JSON line per remaining stage (1, 2, 3b,
+4) and a ``--pallas`` stage-3a row. ``--dp-sweep`` measures stage-3a DP
+scaling on a virtual CPU mesh (1/2/4/8 devices) in subprocesses — real
+multi-chip hardware is not reachable from this harness, so the sweep
+reports *scaling efficiency* of the sharded program, not absolute TPU
+numbers.
 
 Baseline: the same computation in torch fp32 on CPU (the reference is a
 single-device torch program; it is not runnable as shipped — FrEIA missing,
@@ -26,7 +34,8 @@ REPEATS = 3
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 
 
-def _measure_tpu(batch: int = BATCH, bf16: bool = True) -> float:
+def _measure_tpu(batch: int = BATCH, bf16: bool = True,
+                 pallas: bool = False) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +43,7 @@ def _measure_tpu(batch: int = BATCH, bf16: bool = True) -> float:
     from links_tpu.config import LifterTrainConfig
     from links_tpu.objectives import LifterFrozen
 
-    cfg = LifterTrainConfig(batch_size=batch, bf16=bf16)
+    cfg = LifterTrainConfig(batch_size=batch, bf16=bf16, pallas=pallas)
     keys = jax.random.split(jax.random.PRNGKey(0), 6)
     stacked = jax.tree.map(
         lambda a, b: jnp.stack([a, b]),
@@ -69,6 +78,161 @@ def _measure_tpu(batch: int = BATCH, bf16: bool = True) -> float:
     return best
 
 
+def _bench_epochs(step, params, optimizer, batch: int, dim: int = 34) -> float:
+    """Steady-state poses/sec of a (state, batch, key) step via the epoch
+    scan (SCAN_STEPS steps per device program)."""
+    import jax
+    import jax.numpy as jnp
+
+    from links_tpu import train
+
+    state = train.init_state(params, optimizer)
+    data = jax.random.normal(jax.random.PRNGKey(9),
+                             (batch * SCAN_STEPS, dim), jnp.float32) * 0.1
+    data = data.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, dim)
+    epoch_fn = train.make_epoch_fn(step, batch_size=batch)
+    key = jax.random.PRNGKey(1)
+    state, losses = epoch_fn(state, data, key)
+    jax.block_until_ready(losses["loss"])
+    best = 0.0
+    for _ in range(REPEATS):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, losses = epoch_fn(state, data, sub)
+        jax.block_until_ready(losses["loss"])
+        best = max(best, batch * SCAN_STEPS / (time.perf_counter() - t0))
+    return best
+
+
+def _measure_stage1(batch: int = BATCH) -> float:
+    import jax
+
+    from links_tpu import flows, train
+    from links_tpu.config import FlowTrainConfig
+
+    cfg = FlowTrainConfig(batch_size=batch)
+    flow = flows.init_flow(jax.random.PRNGKey(0), 34)
+    optimizer = train.make_optimizer(cfg.optim, SCAN_STEPS)
+    step = train.build_full_flow_step(flow.perm, optimizer, cfg)
+    return _bench_epochs(step, flow.params, optimizer, batch)
+
+
+def _measure_stage2(batch: int = BATCH) -> float:
+    import jax
+
+    from links_tpu import flows, train
+    from links_tpu.config import PartFlowTrainConfig
+
+    cfg = PartFlowTrainConfig(batch_size=batch)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    full = flows.init_flow(keys[0], 34)
+    parts = {
+        "left": flows.init_flow(keys[1], 22),
+        "right": flows.init_flow(keys[2], 22),
+        "legs": flows.init_flow(keys[3], 14),
+        "torso": flows.init_flow(keys[4], 20),
+    }
+    params = {k: v.params for k, v in parts.items()}
+    perms = {k: v.perm for k, v in parts.items()}
+    optimizer = train.make_optimizer(cfg.optim, SCAN_STEPS)
+    step = train.build_part_flows_step(perms, full, optimizer, cfg)
+    return _bench_epochs(step, params, optimizer, batch)
+
+
+def _measure_stage3b(batch: int = BATCH) -> float:
+    import jax
+
+    from links_tpu import flows, models, train
+    from links_tpu.config import LifterTrainConfig
+    from links_tpu.objectives import LifterFrozen
+
+    cfg = LifterTrainConfig(batch_size=batch)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    params = {"legs": models.init_lifter(keys[0], 7),
+              "torso": models.init_lifter(keys[1], 10)}
+    frozen = LifterFrozen(
+        full_flow=flows.init_flow(keys[2], 34),
+        part_a=flows.init_flow(keys[3], 14),
+        part_b=flows.init_flow(keys[4], 20),
+    )
+    optimizer = train.make_optimizer(cfg.optim, SCAN_STEPS)
+    step = train.build_leg_torso_step(frozen, optimizer, cfg)
+    return _bench_epochs(step, params, optimizer, batch)
+
+
+def _measure_stage4(batch: int = BATCH) -> float:
+    import jax
+
+    from links_tpu import models, train
+    from links_tpu.config import OcclusionTrainConfig
+
+    cfg = OcclusionTrainConfig(batch_size=batch)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    completers = models.init_all_completers(keys[0])
+    leg = models.init_lifter(keys[1], 7)
+    torso = models.init_lifter(keys[2], 10)
+    optimizer = train.make_optimizer(cfg.optim, SCAN_STEPS)
+    step = train.build_occlusion_step(leg, torso, optimizer, cfg)
+    return _bench_epochs(step, completers, optimizer, batch)
+
+
+def _measure_stage3a_pallas(batch: int = BATCH) -> float:
+    return _measure_tpu(batch=batch, bf16=True, pallas=True)
+
+
+def _dp_sweep_row(n_devices: int, batch: int) -> float:
+    """Stage-3a poses/sec on an n-device virtual CPU mesh (run in a fresh
+    subprocess so the platform/device count can be pinned)."""
+    import subprocess
+    import sys
+    import os
+
+    code = (
+        "import os\n"
+        f"os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count={n_devices}'\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import json, time\n"
+        "import jax.numpy as jnp\n"
+        "from links_tpu import flows, models, train\n"
+        "from links_tpu.config import LifterTrainConfig\n"
+        "from links_tpu.objectives import LifterFrozen\n"
+        "from links_tpu.train import parallel\n"
+        f"batch = {batch}\n"
+        "cfg = LifterTrainConfig(batch_size=batch, bf16=False)\n"
+        "keys = jax.random.split(jax.random.PRNGKey(0), 6)\n"
+        "stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),\n"
+        "    models.init_lifter(keys[0], 11), models.init_lifter(keys[1], 11))\n"
+        "frozen = LifterFrozen(flows.init_flow(keys[2], 34),\n"
+        "    flows.init_flow(keys[3], 22), flows.init_flow(keys[4], 22))\n"
+        "optimizer = train.make_optimizer(cfg.optim, 8)\n"
+        "step = train.build_left_right_step(frozen, optimizer, cfg)\n"
+        "state = train.init_state(stacked, optimizer)\n"
+        f"mesh = parallel.make_mesh({n_devices})\n"
+        "dp_step = parallel.dp_jit_step(step, mesh)\n"
+        "state = parallel.replicate(state, mesh)\n"
+        "data = jax.random.normal(keys[5], (batch, 34), jnp.float32) * 0.1\n"
+        "batch_s = parallel.shard_batch(data, mesh)\n"
+        "key = jax.random.PRNGKey(1)\n"
+        "state, aux = dp_step(state, batch_s, key)\n"
+        "jax.block_until_ready(aux['loss'])\n"
+        "n = 16\n"
+        "t0 = time.perf_counter()\n"
+        "for i in range(n):\n"
+        "    key, sub = jax.random.split(key)\n"
+        "    state, aux = dp_step(state, batch_s, sub)\n"
+        "jax.block_until_ready(aux['loss'])\n"
+        "print(json.dumps({'pps': batch * n / (time.perf_counter() - t0)}))\n"
+    )
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True, env=env,
+                         cwd=str(Path(__file__).parent))
+    return json.loads(out.stdout.strip().splitlines()[-1])["pps"]
+
+
 def _baseline_poses_per_sec() -> float:
     if BASELINE_CACHE.exists():
         cached = json.loads(BASELINE_CACHE.read_text())
@@ -85,8 +249,43 @@ def _baseline_poses_per_sec() -> float:
     return value
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--all", action="store_true",
+                        help="also bench stages 1/2/3b/4 and the pallas row")
+    parser.add_argument("--dp-sweep", action="store_true",
+                        help="stage-3a DP scaling on a 1/2/4/8-device "
+                             "virtual CPU mesh (efficiency, not TPU numbers)")
+    args = parser.parse_args(argv)
+
     baseline = _baseline_poses_per_sec()
+
+    if args.dp_sweep:
+        base1 = None
+        for n in (1, 2, 4, 8):
+            pps = _dp_sweep_row(n, batch=2048)
+            base1 = base1 or pps
+            print(json.dumps({
+                "metric": f"stage3a_dp_cpu_mesh_{n}dev_poses_per_sec",
+                "value": round(pps, 1), "unit": "poses/s",
+                "scaling_efficiency": round(pps / (base1 * n), 3),
+            }))
+
+    if args.all:
+        for name, fn in (("stage1_full_flow", _measure_stage1),
+                         ("stage2_part_flows", _measure_stage2),
+                         ("stage3b_leg_torso", _measure_stage3b),
+                         ("stage4_occlusion", _measure_stage4),
+                         ("stage3a_pallas", _measure_stage3a_pallas)):
+            value = fn()
+            print(json.dumps({
+                "metric": f"{name}_train_poses_per_sec_per_chip",
+                "value": round(value, 1), "unit": "poses/s",
+            }))
+
+    # flagship row LAST — the driver parses the final line
     value = _measure_tpu()
     print(json.dumps({
         "metric": "stage3a_train_poses_per_sec_per_chip",

@@ -75,6 +75,11 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="additionally export reference-layout .pt files")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices in the data mesh (default: all)")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: call jax.distributed.initialize() "
+                             "before mesh construction (coordinator/process "
+                             "env via standard JAX_* variables); DCN "
+                             "handling is transparent to the DP mesh")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the stage's run checkpoint "
                              "(params + optimizer state + epoch + RNG)")
@@ -281,9 +286,17 @@ def resolve_cfg(args, cfg):
 
 
 def mesh_and_shard(args, *arrays):
-    """Build the data mesh and shard arrays on their batch axis."""
+    """Build the data mesh and shard arrays on their batch axis. With
+    --distributed, initialize the multi-host runtime first (idempotent)."""
+    import jax as _jax
+
     from links_tpu.train import parallel
 
+    if getattr(args, "distributed", False):
+        try:
+            _jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized (orchestrator runs stages in-process)
     mesh = parallel.make_mesh(args.num_devices)
     return mesh, tuple(parallel.shard_batch(a, mesh) for a in arrays)
 

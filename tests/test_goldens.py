@@ -2,8 +2,12 @@
 synthetic data → training-step losses must reproduce stored values.
 Guards the numerics of the whole objective stack across refactors.
 
-Goldens were produced on CPU f32 (jax 0.9.0) by this same code; tolerances
-absorb BLAS variation across machines, not semantic drift.
+Goldens were produced on CPU f32 (jax 0.9.0) by this same code — they guard
+*refactors*, not correctness. Ground truth against the reference lives in
+tests/test_reference_parity.py, which executes the reference's own
+training_step/validation_step code on identical weights and inputs and
+agrees with these objectives to rtol 5e-4; a transcription error in the
+loss stack would fail there, not here.
 """
 
 import jax
