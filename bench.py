@@ -263,6 +263,10 @@ def main(argv=None):
     baseline = _baseline_poses_per_sec()
 
     if args.dp_sweep:
+        # virtual CPU devices share one physical host, so total compute is
+        # constant: a perfectly-partitioned program holds throughput flat
+        # (vs_single_device ≈ 1.0); the drop is the sharding/collective
+        # overhead. Real-chip scaling is analyzed in PERF.md instead.
         base1 = None
         for n in (1, 2, 4, 8):
             pps = _dp_sweep_row(n, batch=2048)
@@ -270,7 +274,7 @@ def main(argv=None):
             print(json.dumps({
                 "metric": f"stage3a_dp_cpu_mesh_{n}dev_poses_per_sec",
                 "value": round(pps, 1), "unit": "poses/s",
-                "scaling_efficiency": round(pps / (base1 * n), 3),
+                "vs_single_device": round(pps / base1, 3),
             }))
 
     if args.all:

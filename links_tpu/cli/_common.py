@@ -116,11 +116,6 @@ def ensure_data(args) -> Path:
     return path
 
 
-_TEST_NORMS = {
-    "h36m": normalize_head_test,
-}
-
-
 def _test_norm_fn(name: str):
     from links_tpu.core.geometry import (
         normalize_head_test_mpi_chest,

@@ -495,7 +495,7 @@ class TestStage3aTrainingStepParity:
         samples = samples.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
         inp_aug = jnp.concatenate([jnp.asarray(inp), samples], axis=0)
 
-        def fixed_rotation(key, props, use_elevation=True):
+        def fixed_rotation(key, props, use_elevation=True, axis_name=None):
             r_comp = rotation_about_x(props)
             x_ang = -props.mean() + props.std(ddof=1) * jnp.asarray(eps_elev)
             y_ang = (jnp.asarray(u_azim) - 0.5) * 1.99 * PI
@@ -582,7 +582,7 @@ class TestStage3bTrainingStepParity:
         samples = samples.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
         inp_aug = jnp.concatenate([jnp.asarray(inp), samples], axis=0)
 
-        def fixed_rotation(key, props, use_elevation=True):
+        def fixed_rotation(key, props, use_elevation=True, axis_name=None):
             r_comp = rotation_about_x(props)
             x_ang = -props.mean() + props.std(ddof=1) * jnp.asarray(eps_elev)
             y_ang = (jnp.asarray(u_azim) - 0.5) * 1.99 * PI
