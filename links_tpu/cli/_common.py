@@ -48,6 +48,14 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         default=None,
                         help="test normalization scale variant "
                              "(utils/helpers.py:222-259); defaults by dataset")
+    parser.add_argument("--test-scale", default=None,
+                        help="override the fixed test-normalization scale "
+                             "(the reference hard-codes 145.40964 = H36M "
+                             "interesting-frames train scale, "
+                             "utils/helpers.py:222). Pass a float, or "
+                             "'auto' to derive the train set's mean "
+                             "root→head 2D distance — the quantity the "
+                             "reference constant measures")
     parser.add_argument("--model-dir", default="models", help="artifact directory")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override stage default epoch count")
@@ -148,11 +156,48 @@ def load_train_test(args):
         train_subjects = tuple(args.train_subjects.split(","))
     if args.test_subjects:
         test_subjects = tuple(args.test_subjects.split(","))
+    if getattr(args, "test_scale", None):
+        import functools
+
+        scale = (_train_head_scale(path, train_subjects)
+                 if args.test_scale == "auto" else float(args.test_scale))
+        test_norm = functools.partial(normalize_head_test, scale=scale)
     use_gt = getattr(args, "gt_2d", True)
     train = loader(path, train_subjects, normalize_func=normalize_head,
                    use_gt=use_gt)
     test = loader(path, test_subjects, normalize_func=test_norm, use_gt=use_gt)
     return train, test
+
+
+def _train_head_scale(path, train_subjects) -> float:
+    """Mean root→head 2D distance over the train subjects — the quantity
+    behind the reference's hard-coded test scales (helpers.py:222 comment:
+    'ground truth in training scale')."""
+    import pickle
+
+    import numpy as np
+
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    p2 = np.concatenate([np.asarray(d[s]["poses_2d"]) for s in train_subjects])
+    p2 = p2.transpose(0, 2, 1).reshape(-1, 2, 17)
+    c = p2 - p2[:, :, 0:1]
+    return float(np.linalg.norm(c[:, :, 0] - c[:, :, 10], axis=1).mean())
+
+
+def bone_means_from_data(train_data):
+    """Mean relative bone lengths of the training set's 3D GT — how the
+    reference's hard-coded prior constants were derived from their datasets
+    (train_left_right_lifter.py:76-94 lists four such vectors). Exposed as
+    --bone-means data for datasets with different proportions (e.g. the
+    synthetic corpus)."""
+    import jax.numpy as _jnp
+
+    from links_tpu.core.skeleton import get_bone_lengths_all
+
+    bl = get_bone_lengths_all(train_data.poses_3d)
+    rel = bl / bl.mean(axis=1, keepdims=True)
+    return _jnp.asarray(rel.mean(axis=0), _jnp.float32)
 
 
 def artifact(args, name: str) -> Path:

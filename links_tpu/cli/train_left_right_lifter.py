@@ -45,10 +45,12 @@ def _validate(stacked_params, test_2d, test_3d, depth: float = 10.0):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     C.add_lifter_flags(parser)
-    parser.add_argument("--bone-means", choices=["h36m", "mpi_vnect_interesting"],
+    parser.add_argument("--bone-means",
+                        choices=["h36m", "mpi_vnect_interesting", "data"],
                         default="h36m",
                         help="bone-relation prior means "
-                             "(train_left_right_lifter.py:76-94)")
+                             "(train_left_right_lifter.py:76-94); 'data' "
+                             "computes them from the train set's 3D GT")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
 
@@ -85,6 +87,8 @@ def main(argv=None):
 
         bone_means = jnp.asarray(BONE_RELATIONS_MEAN_MPI_VNECT_INTERESTING,
                                  jnp.float32)
+    elif args.bone_means == "data":
+        bone_means = C.bone_means_from_data(train_data)
 
     steps_per_epoch = len(train_data) // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)

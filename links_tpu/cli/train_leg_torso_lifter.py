@@ -43,7 +43,7 @@ def _validate(params, test_2d, test_3d, depth: float = 10.0):
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     C.add_lifter_flags(parser)
-    parser.add_argument("--bone-means", choices=["h36m", "mpi_vnect_interesting"],
+    parser.add_argument("--bone-means", choices=["h36m", "mpi_vnect_interesting", "data"],
                         default="h36m",
                         help="bone-relation prior; the reference file defaults "
                              "to the MPI means (train_leg_torso_lifter.py:97) "
@@ -63,7 +63,9 @@ def main(argv=None):
         part_b=C.load_flow(args, C.FLOW_TORSO),
     )
     bone_means = None  # objective default = MPI vnect interesting
-    if args.bone_means == "h36m":
+    if args.bone_means == "data":
+        bone_means = C.bone_means_from_data(train_data)
+    elif args.bone_means == "h36m":
         import jax.numpy as jnp
 
         bone_means = jnp.asarray(BONE_RELATIONS_MEAN_H36M, jnp.float32)

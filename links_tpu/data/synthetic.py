@@ -40,14 +40,53 @@ _REST = np.array([
 FOCAL = 1150.0
 CAMERA_DEPTH = 5200.0
 
+# Kinematic tree over the 17 joints (parent of joint j; root = -1). Matches
+# BONE_MAP_ALL (core/skeleton.py).
+_PARENT = np.array([-1, 0, 1, 2, 0, 4, 5, 0, 7, 8, 9, 8, 11, 12, 8, 14, 15])
+# Per-joint articulation range (rad): limbs swing widely, the torso chain
+# bends a little — keeps poses human-plausible while covering the azimuth/
+# elevation space the lifters must disambiguate.
+_JOINT_SCALE = np.array([0.0, 0.25, 0.45, 0.45, 0.25, 0.45, 0.45,
+                         0.10, 0.10, 0.12, 0.12, 0.30, 0.50, 0.50,
+                         0.30, 0.50, 0.50])
+
+
+def _random_rotmats(rng, n, scale):
+    """n random small rotations: random axis, N(0, scale) angle (Rodrigues)."""
+    v = rng.normal(size=(n, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ang = rng.normal(scale=scale, size=(n, 1, 1))
+    K = np.zeros((n, 3, 3))
+    K[:, 0, 1], K[:, 0, 2] = -v[:, 2], v[:, 1]
+    K[:, 1, 0], K[:, 1, 2] = v[:, 2], -v[:, 0]
+    K[:, 2, 0], K[:, 2, 1] = -v[:, 1], v[:, 0]
+    return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+
+
+def _articulate(rng, n):
+    """Bone-length-preserving articulation: forward kinematics from the rest
+    skeleton with a random per-joint rotation composed along each chain.
+    Every generated pose has EXACTLY the rest skeleton's bone lengths, so
+    the dataset's relative bone-length means are constant (the regime the
+    reference's bone prior assumes — its hard-coded means are dataset
+    statistics, train_left_right_lifter.py:76-79)."""
+    pos = np.zeros((n, 17, 3))
+    rot = np.zeros((n, 17, 3, 3))
+    rot[:, 0] = np.eye(3)
+    for j in range(1, 17):
+        p = _PARENT[j]
+        dr = _random_rotmats(rng, n, _JOINT_SCALE[j])
+        rot[:, j] = rot[:, p] @ dr
+        bone = _REST[j] - _REST[p]
+        pos[:, j] = pos[:, p] + np.einsum("nij,j->ni", rot[:, j], bone)
+    return pos
+
 
 def generate_poses(n: int, seed: int = 0):
     """→ dict {'poses_2d': (n,17,2) px, 'poses_3d': (n,17,3) mm camera-frame,
     'poses_3d_univ': same}. Deterministic in ``seed``."""
     rng = np.random.default_rng(seed)
-    base = _REST[None].repeat(n, 0)
-    # joint jitter (pose variety) + limb articulation
-    base = base + rng.normal(scale=60.0, size=base.shape)
+    base = _articulate(rng, n)
     # random azimuth rotation about the vertical (y) axis
     th = rng.uniform(-np.pi, np.pi, size=n)
     c, s = np.cos(th), np.sin(th)
