@@ -156,30 +156,33 @@ def load_train_test(args):
         train_subjects = tuple(args.train_subjects.split(","))
     if args.test_subjects:
         test_subjects = tuple(args.test_subjects.split(","))
+    use_gt = getattr(args, "gt_2d", True)
     if getattr(args, "test_scale", None):
         import functools
 
-        scale = (_train_head_scale(path, train_subjects)
+        scale = (_train_head_scale(path, train_subjects, use_gt)
                  if args.test_scale == "auto" else float(args.test_scale))
         test_norm = functools.partial(normalize_head_test, scale=scale)
-    use_gt = getattr(args, "gt_2d", True)
     train = loader(path, train_subjects, normalize_func=normalize_head,
                    use_gt=use_gt)
     test = loader(path, test_subjects, normalize_func=test_norm, use_gt=use_gt)
     return train, test
 
 
-def _train_head_scale(path, train_subjects) -> float:
+def _train_head_scale(path, train_subjects, use_gt: bool = True) -> float:
     """Mean root→head 2D distance over the train subjects — the quantity
     behind the reference's hard-coded test scales (helpers.py:222 comment:
-    'ground truth in training scale')."""
-    import pickle
-
+    'ground truth in training scale'). Reads the same 2D source the loaders
+    use (GT, or detector keypoints under --no-gt-2d)."""
     import numpy as np
 
-    with open(path, "rb") as f:
-        d = pickle.load(f)
-    p2 = np.concatenate([np.asarray(d[s]["poses_2d"]) for s in train_subjects])
+    from links_tpu.data.datasets import read_pickle_cached
+
+    d = read_pickle_cached(path)
+    key_2d = "poses_2d"
+    if not use_gt and all("poses_2d_pred" in d[s] for s in train_subjects):
+        key_2d = "poses_2d_pred"
+    p2 = np.concatenate([np.asarray(d[s][key_2d]) for s in train_subjects])
     p2 = p2.transpose(0, 2, 1).reshape(-1, 2, 17)
     c = p2 - p2[:, :, 0:1]
     return float(np.linalg.norm(c[:, :, 0] - c[:, :, 10], axis=1).mean())
@@ -318,25 +321,29 @@ def resolve_cfg(args, cfg):
         kw["batch_size"] = args.batch_size
     if args.f32:
         kw["bf16"] = False
-    if not getattr(args, "gt_2d", True) and hasattr(cfg, "use_gt"):
-        kw["use_gt"] = False
     if getattr(args, "pallas", False) and hasattr(cfg, "pallas"):
         kw["pallas"] = True
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
-def mesh_and_shard(args, *arrays):
-    """Build the data mesh and shard arrays on their batch axis. With
-    --distributed, initialize the multi-host runtime first (idempotent)."""
+def maybe_init_distributed(args):
+    """Multi-host runtime init. MUST run before the first JAX backend use
+    (device access, jnp op, jit) or jax.distributed.initialize() refuses —
+    every CLI calls this immediately after parse_args. Idempotent across
+    the in-process pipeline orchestrator."""
+    if not getattr(args, "distributed", False):
+        return
     import jax as _jax
 
+    if _jax.process_count() > 1:
+        return  # already initialized (run_pipeline runs stages in-process)
+    _jax.distributed.initialize()
+
+
+def mesh_and_shard(args, *arrays):
+    """Build the data mesh and shard arrays on their batch axis."""
     from links_tpu.train import parallel
 
-    if getattr(args, "distributed", False):
-        try:
-            _jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized (orchestrator runs stages in-process)
     mesh = parallel.make_mesh(args.num_devices)
     return mesh, tuple(parallel.shard_batch(a, mesh) for a in arrays)
 

@@ -40,6 +40,7 @@ def main(argv=None):
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     _, test_data = C.load_train_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
@@ -87,7 +88,7 @@ def main(argv=None):
         def _dropout_metrics(cs, ls, gt, p2d):
             out = {}
             for name, (rec, naive) in occ.dropout_eval_poses(
-                    cs, ls, p2d, args.depth).items():
+                    cs, ls, p2d, args.depth, choice=args.choice).items():
                 out[f"dropout_pa_{name}"] = metrics.pa_mpjpe(gt, rec).mean()
                 out[f"dropout_naive_pa_{name}"] = metrics.pa_mpjpe(gt, naive).mean()
             return out

@@ -35,6 +35,7 @@ def main(argv=None):
                              "Packed from --data on first use.")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(args, FlowTrainConfig(num_keypoints=args.num_keypoints))
     train_data, _ = C.load_train_test(args)
@@ -93,16 +94,27 @@ def _packed_epoch_fn(args, cfg, step, train_data, mesh):
         ppath.parent.mkdir(parents=True, exist_ok=True)
         native_loader.pack_dataset(ppath, np.asarray(train_data.poses_2d))
     packed = native_loader.PackedDataset(ppath)
+    if packed.n_rows < cfg.batch_size:
+        raise ValueError(
+            f"packed dataset has {packed.n_rows} rows < batch {cfg.batch_size}")
     dp_step = parallel.dp_jit_step(step, mesh)
 
+    def _shuffle_seed(key):
+        # resumed keys are typed (0-d); fresh PRNGKey(seed) keys are (2,)
+        raw = jax.random.key_data(key) if key.ndim == 0 else key
+        return int(np.asarray(raw).ravel()[-1]) & 0x7FFFFFFF
+
     def epoch_fn(state, _unused_device_data, key):
-        losses = None
-        for i, batch in enumerate(
-                packed.epoch_batches(cfg.batch_size, int(key[-1]) & 0x7FFFFFFF)):
+        total, nb = None, 0
+        for batch in packed.epoch_batches(cfg.batch_size, _shuffle_seed(key)):
             key, sub = jax.random.split(key)
             sharded = parallel.shard_batch(jnp.asarray(batch), mesh)
             state, losses = dp_step(state, sharded, sub)
-        return state, losses
+            total = losses if total is None else jax.tree.map(
+                jnp.add, total, losses)
+            nb += 1
+        # epoch mean, matching the dp_epoch_fn scan's aux mean
+        return state, jax.tree.map(lambda v: v / nb, total)
 
     return epoch_fn
 

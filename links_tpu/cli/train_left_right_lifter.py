@@ -53,6 +53,7 @@ def main(argv=None):
                              "computes them from the train set's 3D GT")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(args, LifterTrainConfig(
         weight_bl=args.bl, depth=args.translation, weight_2d=args.rep2d,

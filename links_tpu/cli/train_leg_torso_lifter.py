@@ -50,6 +50,7 @@ def main(argv=None):
                              "but H36M training wants the H36M means")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(args, LifterTrainConfig(
         weight_bl=args.bl, depth=args.translation, weight_2d=args.rep2d,

@@ -48,6 +48,7 @@ def main(argv=None):
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
     train_data, test_data = C.load_train_test(args)

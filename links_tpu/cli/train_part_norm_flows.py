@@ -33,6 +33,7 @@ def main(argv=None):
                         help="number of key-points in each split")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(
         args, PartFlowTrainConfig(side_keypoints=args.left_right_side_keypoints)

@@ -29,6 +29,7 @@ def main(argv=None):
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
 
     _, test_data = C.load_train_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d

@@ -59,7 +59,6 @@ class LifterTrainConfig:
     weight_velocity: float = 1.0  # --velocity
     weight_likeli: float = 1.0  # --likelihood
     noise_factor: float = 0.2
-    use_gt: bool = True
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
     pallas: bool = False  # fused res_block kernel (ops/pallas_resblock.py)

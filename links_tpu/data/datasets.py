@@ -56,10 +56,27 @@ class PoseDataset:
         return {key: self.poses_2d[idx], "poses_3d": self.poses_3d[idx]}
 
 
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=1)
+def _read_pickle(path: str, mtime: float):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def read_pickle_cached(file_name):
+    """mtime-keyed single-entry pickle cache: one CLI start reads the
+    dataset file once even though train/test loaders (and --test-scale
+    auto) each need it."""
+    path = str(file_name)
+    return _read_pickle(path, os.path.getmtime(path))
+
+
 def _load_pickle_subjects(file_name, subjects: Sequence[str], pose_3d_key: str,
                           use_gt: bool = True):
-    with open(file_name, "rb") as f:
-        data = pickle.load(f)
+    data = read_pickle_cached(file_name)
     # detector-keypoint path (reference get_2dgt=False): prefer a
     # 'poses_2d_pred' array when the pickle carries one; the reference keeps
     # GT and detector keypoints in separate pickles under the same key, so

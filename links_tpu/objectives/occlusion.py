@@ -107,7 +107,7 @@ def completer_losses(completers, pose_3d, policy: nn.Policy = nn.F32):
 
 
 def occlusion_validation_poses(completers, lifters, test_2d, depth: float = 10.0,
-                               policy: nn.Policy = nn.F32):
+                               policy: nn.Policy = nn.F32, scenarios=None):
     """Reference validation scenario construction
     (train_occlusion_models.py:317-399): partial 3D poses are built from
     *different lifter combinations* (side lifters supply side poses; the
@@ -116,7 +116,8 @@ def occlusion_validation_poses(completers, lifters, test_2d, depth: float = 10.0
 
     ``lifters``: {'left','right','legs','torso'} param pytrees.
     Returns {scenario: (B, 51) camera-frame poses} for the 8 scenarios
-    keyed la/ra/ll/rl/torso/legs/left/right.
+    keyed la/ra/ll/rl/torso/legs/left/right (or the requested
+    ``scenarios`` subset — only those completers run).
     """
     from links_tpu.core.skeleton import (
         combine_left_right_occluded_3d,
@@ -162,39 +163,37 @@ def occlusion_validation_poses(completers, lifters, test_2d, depth: float = 10.0
         "left": p_right.reshape(-1, 33),   # pose without its left side
         "right": p_left.reshape(-1, 33),
     }
+    completer_of = {"la": "left_arm", "ra": "right_arm", "ll": "left_leg",
+                    "rl": "right_leg", "torso": "torso", "legs": "both_legs",
+                    "left": "left_side", "right": "right_side"}
+    names = tuple(scenarios) if scenarios is not None else tuple(completer_of)
     preds = {
-        "la": completer_apply(completers["left_arm"], inputs["la"], policy),
-        "ra": completer_apply(completers["right_arm"], inputs["ra"], policy),
-        "ll": completer_apply(completers["left_leg"], inputs["ll"], policy),
-        "rl": completer_apply(completers["right_leg"], inputs["rl"], policy),
-        "torso": completer_apply(completers["torso"], inputs["torso"], policy),
-        "legs": completer_apply(completers["both_legs"], inputs["legs"], policy),
-        "left": completer_apply(completers["left_side"], inputs["left"], policy),
-        "right": completer_apply(completers["right_side"], inputs["right"], policy),
+        n: completer_apply(completers[completer_of[n]], inputs[n], policy)
+        for n in names
     }
-    full = {
-        "la": combine_pose_and_limb(inputs["la"], preds["la"], "la"),
-        "ra": combine_pose_and_limb(inputs["ra"], preds["ra"], "ra"),
-        "ll": combine_pose_and_limb(inputs["ll"], preds["ll"], "ll"),
-        "rl": combine_pose_and_limb(inputs["rl"], preds["rl"], "rl"),
-        "torso": jnp.concatenate(
-            [inputs["torso"].reshape(-1, 3, 7), preds["torso"].reshape(-1, 3, 10)],
-            axis=2).reshape(-1, 51),
-        "legs": jnp.concatenate(
-            [inputs["legs"].reshape(-1, 3, 11)[:, :, :1],
-             preds["legs"].reshape(-1, 3, 6),
-             inputs["legs"].reshape(-1, 3, 11)[:, :, 1:]], axis=2).reshape(-1, 51),
-        "left": combine_left_right_occluded_3d(
-            occluded_part=preds["left"], visible_part=inputs["left"],
-            part_occluded="left").reshape(-1, 51),
-        "right": combine_left_right_occluded_3d(
-            occluded_part=preds["right"], visible_part=inputs["right"],
-            part_occluded="right").reshape(-1, 51),
-    }
+
+    def _full(n):
+        if n in ("la", "ra", "ll", "rl"):
+            return combine_pose_and_limb(inputs[n], preds[n], n)
+        if n == "torso":
+            return jnp.concatenate(
+                [inputs["torso"].reshape(-1, 3, 7),
+                 preds["torso"].reshape(-1, 3, 10)], axis=2).reshape(-1, 51)
+        if n == "legs":
+            return jnp.concatenate(
+                [inputs["legs"].reshape(-1, 3, 11)[:, :, :1],
+                 preds["legs"].reshape(-1, 3, 6),
+                 inputs["legs"].reshape(-1, 3, 11)[:, :, 1:]],
+                axis=2).reshape(-1, 51)
+        return combine_left_right_occluded_3d(
+            occluded_part=preds[n], visible_part=inputs[n],
+            part_occluded=n).reshape(-1, 51)
+
     # camera frame (z += depth; train_occlusion_models.py:392-399)
     return {
-        k: jnp.concatenate([v[:, :34], v[:, 34:] + depth], axis=1)
-        for k, v in full.items()
+        n: (lambda v: jnp.concatenate([v[:, :34], v[:, 34:] + depth], axis=1))(
+            _full(n))
+        for n in names
     }
 
 
@@ -222,7 +221,7 @@ def drop_keypoints(poses_2d, joints):
 
 
 def dropout_eval_poses(completers, lifters, test_2d, depth: float = 10.0,
-                       policy: nn.Policy = nn.F32):
+                       policy: nn.Policy = nn.F32, choice: str = "right"):
     """Lifting under simulated 2D keypoint dropout (BASELINE.md's dropout
     config; the paper's occlusion-handling claim).
 
@@ -231,8 +230,9 @@ def dropout_eval_poses(completers, lifters, test_2d, depth: float = 10.0,
     joints, and the completer infills the missing 3D part
     (occlusion_validation_poses routing, train_occlusion_models.py:317-399).
     Returns {scenario: (recovered (B,51), naive (B,51))} where ``naive`` is
-    the full left/right lift of the corrupted 2D — the no-completion
-    baseline the paper improves on.
+    the full left/right lift of the corrupted 2D (shared joints from
+    ``choice``, matching the headline eval) — the no-completion baseline
+    the paper improves on.
     """
     from links_tpu.objectives.lifter import lift_left_right_eval
 
@@ -243,9 +243,9 @@ def dropout_eval_poses(completers, lifters, test_2d, depth: float = 10.0,
     for name, joints in DROPOUT_SCENARIO_JOINTS.items():
         occluded = drop_keypoints(test_2d, joints)
         recovered = occlusion_validation_poses(
-            completers, lifters, occluded, depth, policy
+            completers, lifters, occluded, depth, policy, scenarios=(name,)
         )[name]
-        naive = lift_left_right_eval(stacked, occluded, depth, "right", policy)
+        naive = lift_left_right_eval(stacked, occluded, depth, choice, policy)
         out[name] = (recovered, naive)
     return out
 

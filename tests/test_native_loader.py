@@ -90,3 +90,13 @@ def test_stage1_cli_packed_data_path(tmp_path):
     assert (tmp_path / "train2d.lnks").exists()
     assert (tmp_path / "models" / "full_flow").exists()
     assert int(state.step) > 0
+
+    # --resume hands the packed feed a restored typed RNG key (0-d) — the
+    # shuffle-seed derivation must accept both key flavors
+    state2 = main([
+        "--data", str(tmp_path / "synth.pkl"),
+        "--model-dir", str(tmp_path / "models"),
+        "--epochs", "2", "--batch-size", "16", "--f32", "--resume",
+        "--packed-data", str(tmp_path / "train2d.lnks"),
+    ])
+    assert int(state2.step) > int(state.step)
