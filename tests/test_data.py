@@ -77,6 +77,44 @@ def test_synthetic_poses_project_consistently():
     np.testing.assert_allclose(p2d, want, rtol=1e-4)
 
 
+def test_preprocess_h36m_fetch_layout(tmp_path):
+    """End-to-end preprocessing: a tiny h36m-fetch tree
+    (processed/<subject>/<action>/annot.h5 with 32-joint pose buffers) →
+    reference-schema pickle with the 17-joint subset in canonical order
+    (pre_process_h36m_fetch.py:17-35)."""
+    h5py = __import__("h5py")
+    from links_tpu.data.preprocess import H36M_17_JOINTS, preprocess_h36m_fetch
+
+    rng = np.random.default_rng(0)
+    n_frames = {"Walking": 5, "Eating": 3}
+    raw = {}
+    for subject in ("S1", "S9"):
+        for action, n in n_frames.items():
+            d = tmp_path / "processed" / subject / action
+            d.mkdir(parents=True)
+            p2 = rng.normal(size=(n, 32, 2)).astype(np.float64)
+            p3 = rng.normal(size=(n, 32, 3)).astype(np.float64)
+            p3u = p3 * 1.01
+            raw[(subject, action)] = (p2, p3, p3u)
+            with h5py.File(d / "annot.h5", "w") as f:
+                g = f.create_group("pose")
+                g["2d"], g["3d"], g["3d-univ"] = p2, p3, p3u
+
+    out = tmp_path / "h36m_data.pkl"
+    processed = preprocess_h36m_fetch(str(tmp_path / "processed"), str(out))
+    assert set(processed) == {"S1", "S9"}
+    assert processed["S1"]["poses_2d"].shape == (8, 17, 2)
+    assert processed["S1"]["poses_3d_univ"].shape == (8, 17, 3)
+    # actions concatenate in sorted order (Eating before Walking); joints
+    # are the canonical 17-subset of the 32-slot buffer
+    want = np.concatenate([raw[("S1", "Eating")][0], raw[("S1", "Walking")][0]])
+    np.testing.assert_allclose(processed["S1"]["poses_2d"],
+                               want[:, H36M_17_JOINTS, :])
+    # and the pickle loads through the standard loader
+    ds = data.load_h36m(out, subjects=("S1",), normalize_func=None)
+    assert len(ds) == 8
+
+
 def test_fit_part_pca(tmp_path):
     pkl = tmp_path / "synth.pkl"
     data.write_synthetic_pickle(pkl, n_per_subject=32)
