@@ -95,8 +95,13 @@ def generate_poses(n: int, seed: int = 0):
     ry[:, 1, 1] = 1.0
     ry[:, 2, 0], ry[:, 2, 2] = -s, c
     pose = np.einsum("nij,nkj->nki", ry, base)
-    # small elevation tilt
-    phi = rng.normal(scale=0.12, size=n)
+    # consistent downward camera tilt (~11° ± 5°), as in real captures
+    # (H36M cameras look down at the subject). A zero-mean tilt would make
+    # the front/back depth-sign ambiguity of single-frame unsupervised
+    # lifting unbreakable — ElePose/LInKs break it precisely through the
+    # asymmetric elevation distribution the lifter's angle head models
+    # (train_left_right_lifter.py:166-183).
+    phi = rng.normal(loc=0.2, scale=0.08, size=n)
     cp, sp = np.cos(phi), np.sin(phi)
     rx = np.zeros((n, 3, 3))
     rx[:, 0, 0] = 1.0
