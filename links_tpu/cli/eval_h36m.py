@@ -63,7 +63,11 @@ def main(argv=None):
     @jax.jit
     def _all_metrics(gt, p):
         return {
-            "pa_mpjpe": metrics.pa_mpjpe(gt, p).mean(),
+            "pa_mpjpe": metrics.pa_mpjpe(gt, p).mean(),  # protocol 2
+            # protocol 1: root-centered, unscaled (metrics_batch.mpjpe with
+            # use_scaling=False)
+            "mpjpe": metrics.n_mpjpe(gt, p, use_scaling=False,
+                                     num_joints=17, root_joint=0).mean(),
             "n_mpjpe": metrics.n_mpjpe(gt, p, num_joints=17, root_joint=0).mean(),
             "pck": metrics.pck(gt, p, num_joints=17, root_joint=0),
             "auc": metrics.auc(gt, p, num_joints=17, root_joint=0),

@@ -295,11 +295,14 @@ class TestMetricsBatch:
         pred = (gt + 20 * rng.normal(size=(16, 51))).astype(np.float32)
         return gt, pred
 
-    def test_n_mpjpe(self, ref, pair):
+    @pytest.mark.parametrize("use_scaling", [True, False])
+    def test_n_mpjpe(self, ref, pair, use_scaling):
         gt, pred = pair
         mb = ref.metrics_batch.Metrics()
-        want = mb.mpjpe(_t(gt), _t(pred), num_joints=17, root_joint=0)
-        close(metrics.n_mpjpe(jnp.asarray(gt), jnp.asarray(pred)), want, atol=1e-3)
+        want = mb.mpjpe(_t(gt), _t(pred), use_scaling=use_scaling,
+                        num_joints=17, root_joint=0)
+        close(metrics.n_mpjpe(jnp.asarray(gt), jnp.asarray(pred),
+                              use_scaling=use_scaling), want, atol=1e-3)
 
     def test_pck(self, ref, pair):
         gt, pred = pair
