@@ -192,4 +192,7 @@ def load_reference():
     ns.h36m_dataset_class = _load_file(
         "_ref_h36m_dataset_class", f"{REF_ROOT}/utils/h36m_dataset_class.py"
     )
+    ns.mpi_inf_3dhp_dataset_class = _load_file(
+        "_ref_mpi_dataset_class", f"{REF_ROOT}/utils/mpi_inf_3dhp_dataset_class.py"
+    )
     return ns

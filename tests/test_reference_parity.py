@@ -336,6 +336,93 @@ class TestMetricsBatch:
               atol=1e-3)
 
 
+# ---------------------------------------------------------------- L1 datasets
+
+
+class TestDatasetClassParity:
+    """Run the reference dataset classes (H36M_Data, MPI_INF_3DHP_Dataset —
+    loaded through the shim's broken-import-root aliases) on the same
+    synthetic pickle as links_tpu's loaders and compare the materialized
+    arrays and sample dicts."""
+
+    @pytest.fixture(scope="class")
+    def pickle_path(self, tmp_path_factory):
+        from links_tpu.data import write_synthetic_pickle
+
+        p = tmp_path_factory.mktemp("ds") / "synth.pkl"
+        write_synthetic_pickle(p, n_per_subject=16)
+        return p
+
+    def test_h36m_normalize_head(self, ref, pickle_path):
+        from links_tpu.core.geometry import normalize_head
+        from links_tpu.data import load_h36m
+
+        subj = ["S1", "S5"]
+        want = ref.h36m_dataset_class.H36M_Data(
+            str(pickle_path), train=True, get_2dgt=True,
+            normalize_func=ref.helpers.normalize_head, subjects=subj)
+        got = load_h36m(pickle_path, tuple(subj), normalize_func=normalize_head)
+        close(got.poses_2d, np.asarray(want.data["poses_2d"]), atol=1e-5)
+        close(got.poses_3d, np.asarray(want.data["poses_3d"]), atol=1e-4)
+        assert len(got) == len(want)
+        ws = want[3]
+        gs = got[3]
+        assert set(gs) == set(ws) == {"p2d_gt", "poses_3d"}
+        close(gs["p2d_gt"], np.asarray(ws["p2d_gt"]), atol=1e-5)
+
+    def test_h36m_maxabs_fallback(self, ref, pickle_path):
+        from links_tpu.data import load_h36m
+
+        want = ref.h36m_dataset_class.H36M_Data(
+            str(pickle_path), get_2dgt=True, subjects=["S9"])
+        got = load_h36m(pickle_path, ("S9",), normalize_func=None)
+        close(got.poses_2d, np.asarray(want.data["poses_2d"]), atol=1e-5)
+
+    def test_h36m_p2d_pred_key(self, ref, pickle_path):
+        from links_tpu.data import load_h36m
+
+        want = ref.h36m_dataset_class.H36M_Data(
+            str(pickle_path), get_2dgt=False, subjects=["S1"])
+        got = load_h36m(pickle_path, ("S1",), normalize_func=None)
+        # the reference's get_2dgt only renames the sample key; our loader
+        # additionally switches to the poses_2d_pred arrays, so compare the
+        # dict shape (reference pickles carry detector data under poses_2d)
+        assert set(want[0]) == {"p2d_pred", "poses_3d"}
+        assert set(got[0]) == {"p2d_gt", "poses_3d"}
+
+    def test_mpi_uses_univ_gt(self, ref, pickle_path):
+        from links_tpu.core.geometry import normalize_head
+        from links_tpu.data import load_mpi_inf_3dhp
+
+        subj = ["S1", "S2", "S3"]
+        want = ref.mpi_inf_3dhp_dataset_class.MPI_INF_3DHP_Dataset(
+            str(pickle_path), get_2dgt=True,
+            normalize_func=ref.helpers.normalize_head, subjects=subj)
+        got = load_mpi_inf_3dhp(pickle_path, tuple(subj),
+                                normalize_func=normalize_head)
+        close(got.poses_2d, np.asarray(want.data["poses_2d"]), atol=1e-5)
+        close(got.poses_3d, np.asarray(want.data["poses_3d"]), atol=1e-4)
+
+    def test_pca_fit_matches(self, ref, pickle_path):
+        from links_tpu.core.geometry import normalize_head
+        from links_tpu.data import fit_part_pca, load_h36m
+
+        want = ref.h36m_dataset_class.H36M_Data(
+            str(pickle_path), train=True, get_2dgt=True, get_pca=True,
+            normalize_func=ref.helpers.normalize_head, subjects=["S1", "S5"])
+        got = load_h36m(pickle_path, ("S1", "S5"), normalize_func=normalize_head)
+        pcas = fit_part_pca(got.poses_2d)
+        if pcas is None:
+            pytest.skip("sklearn unavailable")
+        left, right = pcas
+        np.testing.assert_allclose(left.explained_variance_,
+                                   want.left_pca.explained_variance_,
+                                   rtol=1e-4, atol=1e-7)
+        np.testing.assert_allclose(right.explained_variance_,
+                                   want.right_pca.explained_variance_,
+                                   rtol=1e-4, atol=1e-7)
+
+
 # ------------------------------------------------------------- model forwards
 
 
