@@ -72,6 +72,16 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="generate synthetic data at --data if missing (smoke runs)")
     parser.add_argument("--synthetic-n", type=int, default=512,
                         help="synthetic poses per subject")
+    parser.add_argument("--synthetic-test-n", type=int, default=None,
+                        help="synthetic poses per TEST subject (default: "
+                             "--synthetic-n); lets big training sets pair "
+                             "with a modest eval set")
+    parser.add_argument("--save-every", type=int, default=1,
+                        help="checkpoint every N epochs (always saves the "
+                             "final epoch); the reference saves every epoch")
+    parser.add_argument("--validate-every", type=int, default=1,
+                        help="run the per-epoch validation metrics every N "
+                             "epochs (always on the final epoch)")
     parser.add_argument("--f32", action="store_true",
                         help="disable bf16 matmuls (full f32)")
     parser.add_argument("--pallas", action="store_true",
@@ -115,13 +125,22 @@ def ensure_data(args) -> Path:
         if args.synthetic:
             print(f"[links_tpu] generating synthetic data at {path}")
             write_synthetic_pickle(path, n_per_subject=args.synthetic_n,
-                                   seed=args.seed)
+                                   seed=args.seed,
+                                   n_test_per_subject=getattr(
+                                       args, "synthetic_test_n", None))
         else:
             raise FileNotFoundError(
                 f"{path} not found. Produce it with links_tpu.data.preprocess "
                 f"(h36m-fetch layout) or pass --synthetic for a smoke run."
             )
     return path
+
+
+def due(args, epoch: int, n_epochs: int, attr: str) -> bool:
+    """True when the periodic action named by ``attr`` ('save_every' /
+    'validate_every') is due this epoch. The final epoch is always due."""
+    every = max(1, getattr(args, attr, 1) or 1)
+    return (epoch + 1) % every == 0 or epoch + 1 == n_epochs
 
 
 def _test_norm_fn(name: str):

@@ -69,9 +69,10 @@ def main(argv=None):
         logger.log(rec, step=epoch)
         print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()
                                             if k != "epoch"))
-        # save every epoch (reference saves per epoch, :115)
-        C.save_flow(args, C.FULL_FLOW, flows.Flow(state.params, flow.perm))
-        C.save_run(args, "full_flow", state, key, epoch + 1)
+        # reference saves per epoch (:115); --save-every relaxes that
+        if C.due(args, epoch, cfg.n_epochs, "save_every"):
+            C.save_flow(args, C.FULL_FLOW, flows.Flow(state.params, flow.perm))
+            C.save_run(args, "full_flow", state, key, epoch + 1)
     logger.close()
     return state
 

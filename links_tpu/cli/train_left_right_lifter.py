@@ -106,15 +106,20 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
         rec = {k: float(v) for k, v in losses.items()}
-        rec.update({k: float(v) for k, v in
-                    _validate(state.params, test2d, test3d, depth=cfg.depth).items()})
+        msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
+        if C.due(args, epoch, cfg.n_epochs, "validate_every"):
+            rec.update({k: float(v) for k, v in
+                        _validate(state.params, test2d, test3d,
+                                  depth=cfg.depth).items()})
+            msg += (f" pa_left={rec['pa_left']:.2f}"
+                    f" pa_right={rec['pa_right']:.2f}"
+                    f" n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
-        print(f"epoch {epoch}: loss={rec['loss']:.4f} "
-              f"pa_left={rec['pa_left']:.2f} pa_right={rec['pa_right']:.2f} "
-              f"n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")
-        C.save_params(args, C.LIFTER_LR, state.params)
-        C.save_run(args, "left_right", state, key, epoch + 1)
+        print(msg)
+        if C.due(args, epoch, cfg.n_epochs, "save_every"):
+            C.save_params(args, C.LIFTER_LR, state.params)
+            C.save_run(args, "left_right", state, key, epoch + 1)
 
     if args.save_pt:
         from links_tpu import ckpt

@@ -68,9 +68,11 @@ def main(argv=None):
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
         print(f"epoch {epoch}: loss={rec['loss']:.4f}")
-        for name, art in _NAMES.items():
-            C.save_flow(args, art, flows.Flow(state.params[name], perms[name]))
-        C.save_run(args, "part_flows", state, key, epoch + 1)
+        if C.due(args, epoch, cfg.n_epochs, "save_every"):
+            for name, art in _NAMES.items():
+                C.save_flow(args, art,
+                            flows.Flow(state.params[name], perms[name]))
+            C.save_run(args, "part_flows", state, key, epoch + 1)
     logger.close()
     return state
 

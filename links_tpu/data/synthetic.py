@@ -130,10 +130,17 @@ def generate_poses(n: int, seed: int = 0):
 
 def write_synthetic_pickle(path, n_per_subject: int = 128, seed: int = 0,
                            subjects=("S1", "S2", "S3", "S4", "S5", "S6", "S7",
-                                     "S8", "S9", "S11")):
-    """Reference-schema pickle with synthetic data for every subject."""
+                                     "S8", "S9", "S11"),
+                           n_test_per_subject: int | None = None):
+    """Reference-schema pickle with synthetic data for every subject.
+
+    ``n_test_per_subject`` (default: ``n_per_subject``) sizes the eval
+    subjects S9/S11 independently, so large training sets don't force an
+    equally large per-epoch validation sweep."""
+    n_test = n_per_subject if n_test_per_subject is None else n_test_per_subject
     processed = {
-        s: generate_poses(n_per_subject, seed=seed + i)
+        s: generate_poses(n_test if s in ("S9", "S11") else n_per_subject,
+                          seed=seed + i)
         for i, s in enumerate(subjects)
     }
     save_pickle(path, processed)
