@@ -293,7 +293,53 @@ def load_stacked_lr(args):
         left = ckpt.load_lifter_pt(left_pt)
         right = ckpt.load_lifter_pt(right_pt)
         return jax.tree.map(lambda a, b: jnp.stack([a, b]), left, right)
-    return load_params(args, LIFTER_LR)
+    return load_params(args, LIFTER_LR + best_suffix(args))
+
+
+class BestTracker:
+    """Keep a ``<name>_best`` artifact for the best validation epoch.
+
+    The unsupervised lifting objective is multi-modal in the depth sign:
+    training loss can keep improving while the lifter flips between the
+    front-facing and back-facing mode late in training (observed on the
+    synthetic corpus: PA-MPJPE 64 mm at epoch 24 → 145 mm at epoch 99 with a
+    monotonically decreasing loss). The reference logs per-epoch validation
+    to wandb and ships hand-picked weights (SURVEY.md §5); tracking the
+    best-validation checkpoint automates that selection. Consumers opt in
+    with ``--use-best``.
+    """
+
+    def __init__(self, metric: str):
+        self.metric = metric
+        self.best = float("inf")
+        self.epoch = -1
+
+    def update(self, args, epoch: int, rec: dict, artifacts: dict) -> bool:
+        """``artifacts`` maps artifact name → params pytree. Saves each as
+        ``<name>_best`` when ``rec[self.metric]`` improves on the best so
+        far. Returns True on improvement."""
+        value = rec.get(self.metric)
+        if value is None or not value < self.best:
+            return False
+        self.best, self.epoch = float(value), epoch
+        for name, params in artifacts.items():
+            ckpt.save_checkpoint(
+                artifact(args, f"{name}_best"), {"params": params},
+                extra={"epoch": epoch, self.metric: float(value)},
+            )
+        return True
+
+
+def add_use_best_flag(parser: argparse.ArgumentParser):
+    parser.add_argument("--use-best", action="store_true",
+                        help="load the best-validation '<artifact>_best' "
+                             "checkpoints the lifter trainers keep alongside "
+                             "their final weights")
+    return parser
+
+
+def best_suffix(args) -> str:
+    return "_best" if getattr(args, "use_best", False) else ""
 
 
 def save_run(args, stage: str, state, key, next_epoch: int):

@@ -101,6 +101,7 @@ def main(argv=None):
     )
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
+    best = C.BestTracker("pa_mean")
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
@@ -111,6 +112,9 @@ def main(argv=None):
             rec.update({k: float(v) for k, v in
                         _validate(state.params, test2d, test3d,
                                   depth=cfg.depth).items()})
+            rec["pa_mean"] = (rec["pa_left"] + rec["pa_right"]) / 2
+            if best.update(args, epoch, rec, {C.LIFTER_LR: state.params}):
+                msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_right={rec['pa_right']:.2f}"
                     f" n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")

@@ -89,6 +89,7 @@ def main(argv=None):
     )
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
+    best = C.BestTracker("pa")
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
@@ -99,6 +100,10 @@ def main(argv=None):
             rec.update({k: float(v) for k, v in
                         _validate(state.params, test2d, test3d,
                                   depth=cfg.depth).items()})
+            if best.update(args, epoch, rec,
+                           {C.LIFTER_LEGS: state.params["legs"],
+                            C.LIFTER_TORSO: state.params["torso"]}):
+                msg += " [best]"
             msg += (f" pa={rec['pa']:.2f} n-mpjpe={rec['mpjpe_scaled']:.2f}"
                     f" pck={rec['pck']:.2f}")
         rec["epoch"] = epoch

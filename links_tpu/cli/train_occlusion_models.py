@@ -47,8 +47,10 @@ def main(argv=None):
     C.add_lifter_flags(parser)
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
+    sfx = C.best_suffix(args)
 
     cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
     train_data, test_data = C.load_train_test(args)
@@ -59,8 +61,10 @@ def main(argv=None):
     lifters = {
         "left": jax.tree.map(lambda a: a[0], stacked_lr),
         "right": jax.tree.map(lambda a: a[1], stacked_lr),
-        "legs": C.load_params(args, C.LIFTER_LEGS, pt_loader=load_lifter_pt),
-        "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
+        "legs": C.load_params(args, C.LIFTER_LEGS + sfx,
+                              pt_loader=load_lifter_pt),
+        "torso": C.load_params(args, C.LIFTER_TORSO + sfx,
+                               pt_loader=load_lifter_pt),
     }
 
     logger = C.make_logger(args, "occlusion_models")

@@ -48,6 +48,8 @@ def test_stage3a_left_right_lifter(workspace):
     state = main(_args(workspace, ["--save-pt"]))
     assert (workspace / "models" / "lifter_left_right").exists()
     assert (workspace / "models" / "left_side_lifter_final.pt").exists()
+    # best-validation checkpoint tracked alongside the final weights
+    assert (workspace / "models" / "lifter_left_right_best").exists()
     assert int(state.step) > 0
 
 
@@ -57,6 +59,8 @@ def test_stage3b_leg_torso_lifter(workspace):
     main(_args(workspace))
     assert (workspace / "models" / "lifter_legs").exists()
     assert (workspace / "models" / "lifter_torso").exists()
+    assert (workspace / "models" / "lifter_legs_best").exists()
+    assert (workspace / "models" / "lifter_torso_best").exists()
 
 
 def test_stage4_occlusion_models(workspace):
@@ -85,6 +89,13 @@ def test_stage5_eval(workspace, capsys):
     for name in ("la", "ra", "ll", "rl", "torso", "legs", "left", "right"):
         assert np.isfinite(results_dp[f"dropout_pa_{name}"]), name
         assert np.isfinite(results_dp[f"dropout_naive_pa_{name}"]), name
+    # --use-best routes through the tracked best-validation checkpoints
+    results_best = main(_args(workspace, ["--json", "--use-best"]))
+    assert np.isfinite(results_best["pa_mpjpe"])
+    results_lt_best = main(_args(workspace,
+                                 ["--mode", "leg_torso", "--json",
+                                  "--use-best"]))
+    assert np.isfinite(results_lt_best["pa_mpjpe"])
 
 
 def test_no_gt_2d_variant(workspace):
