@@ -72,6 +72,10 @@ def main(argv=None):
         bone_means = jnp.asarray(BONE_RELATIONS_MEAN_H36M, jnp.float32)
 
     logger = C.make_logger(args, "leg_torso_lifter")
+    logger.set_config({"learning_rate": cfg.optim.learning_rate,
+                       "BATCH_SIZE": cfg.batch_size, "N_epochs": cfg.n_epochs,
+                       "weight_bl": cfg.weight_bl, "depth": cfg.depth,
+                       "use_elevation": cfg.use_elevation})
     key = C.key_from_seed(args.seed)
     key, k_leg, k_torso = jax.random.split(key, 3)
     params = {

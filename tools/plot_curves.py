@@ -50,7 +50,7 @@ def main(argv=None):
         p = args.model_dir / f"{name}.jsonl"
         if not p.exists():
             continue
-        rows = load(p)
+        rows = [r for r in load(p) if "loss" in r]  # drop _config headers
         if not rows:
             continue
         epochs = [r.get("epoch", i) for i, r in enumerate(rows)]
