@@ -47,6 +47,10 @@ def main(argv=None):
     parser.add_argument("--eval-args", default="",
                         help="extra flags forwarded only to the eval stage "
                              "(e.g. '--json --occlusion')")
+    parser.add_argument("--use-best", action="store_true",
+                        help="stages 4 and eval consume the lifters' "
+                             "best-validation checkpoints instead of the "
+                             "final-epoch weights")
     # everything else is forwarded verbatim to the stage CLIs
     args, passthrough = parser.parse_known_args(argv)
 
@@ -62,6 +66,8 @@ def main(argv=None):
         attempts = args.retries + 1
         for attempt in range(attempts):
             flags = list(forwarded)
+            if args.use_best and stage in ("4", "eval"):
+                flags.append("--use-best")
             if stage == "eval":
                 flags += eval_extra
             elif attempt > 0:

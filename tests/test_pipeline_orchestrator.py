@@ -50,3 +50,22 @@ def test_run_pipeline_retries_then_fails(tmp_path, monkeypatch, capsys):
     # retry attempts pass --resume
     assert "--resume" not in calls[0]
     assert "--resume" in calls[1] and "--resume" in calls[2]
+
+
+def test_run_pipeline_use_best_routing(monkeypatch):
+    """--use-best is appended only for stages that accept it (4 and eval)."""
+    from links_tpu.cli import run_pipeline
+
+    seen = {}
+
+    def fake_stage_main(stage):
+        def fake_main(flags):
+            seen[stage] = list(flags)
+        return fake_main
+
+    monkeypatch.setattr(run_pipeline, "_stage_main", fake_stage_main)
+    run_pipeline.main(["--stages", "1,2,3a,3b,4,eval", "--use-best"])
+    for stage in ("1", "2", "3a", "3b"):
+        assert "--use-best" not in seen[stage], stage
+    for stage in ("4", "eval"):
+        assert "--use-best" in seen[stage], stage
