@@ -91,7 +91,7 @@ def main(argv=None):
             "torso": C.load_params(args, C.LIFTER_TORSO + sfx,
                                    pt_loader=load_lifter_pt),
         }
-        completers = C.load_params(args, C.OCCLUSION)
+        completers = C.load_params(args, C.OCCLUSION + sfx)
 
     if args.dropout:
         @jax.jit

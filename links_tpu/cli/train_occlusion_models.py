@@ -82,6 +82,7 @@ def main(argv=None):
     )
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
+    best = C.BestTracker("pa_scenario_mean")
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
@@ -92,6 +93,12 @@ def main(argv=None):
             rec.update({k: float(v) for k, v in
                         _validate(state.params, lifters, test2d, test3d,
                                   depth=cfg.depth).items()})
+            # completers overfit the frozen lifters' pseudo-3D; track the
+            # best mean scenario PA like the lifter stages track theirs
+            pa_keys = [k for k in rec if k.startswith("pa_")]
+            rec["pa_scenario_mean"] = sum(rec[k] for k in pa_keys) / len(pa_keys)
+            if best.update(args, epoch, rec, {C.OCCLUSION: state.params}):
+                msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_torso={rec['pa_torso']:.2f}")
         rec["epoch"] = epoch

@@ -68,6 +68,7 @@ def test_stage4_occlusion_models(workspace):
 
     main(_args(workspace))
     assert (workspace / "models" / "occlusion_models").exists()
+    assert (workspace / "models" / "occlusion_models_best").exists()
 
 
 def test_stage5_eval(workspace, capsys):
@@ -90,8 +91,10 @@ def test_stage5_eval(workspace, capsys):
         assert np.isfinite(results_dp[f"dropout_pa_{name}"]), name
         assert np.isfinite(results_dp[f"dropout_naive_pa_{name}"]), name
     # --use-best routes through the tracked best-validation checkpoints
-    results_best = main(_args(workspace, ["--json", "--use-best"]))
+    # (lifters and, with --dropout, the completers)
+    results_best = main(_args(workspace, ["--json", "--use-best", "--dropout"]))
     assert np.isfinite(results_best["pa_mpjpe"])
+    assert np.isfinite(results_best["dropout_pa_torso"])
     results_lt_best = main(_args(workspace,
                                  ["--mode", "leg_torso", "--json",
                                   "--use-best"]))
