@@ -28,8 +28,10 @@ def main(argv=None):
     parser.add_argument("--out", default=None, help="output image path")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
+    sfx = C.best_suffix(args)
 
     _, test_data = C.load_train_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
@@ -57,10 +59,12 @@ def main(argv=None):
         lifters = {
             "left": jax.tree.map(lambda a: a[0], stacked),
             "right": jax.tree.map(lambda a: a[1], stacked),
-            "legs": C.load_params(args, C.LIFTER_LEGS, pt_loader=load_lifter_pt),
-            "torso": C.load_params(args, C.LIFTER_TORSO, pt_loader=load_lifter_pt),
+            "legs": C.load_params(args, C.LIFTER_LEGS + sfx,
+                                  pt_loader=load_lifter_pt),
+            "torso": C.load_params(args, C.LIFTER_TORSO + sfx,
+                                   pt_loader=load_lifter_pt),
         }
-        completers = C.load_params(args, C.OCCLUSION)
+        completers = C.load_params(args, C.OCCLUSION + sfx)
         _, err = viz.visualise_occlusion(completers, lifters, test2d, test3d,
                                          args.frame, args.scenario, args.depth,
                                          out_path=out)
