@@ -314,6 +314,19 @@ class BestTracker:
         self.best = float("inf")
         self.epoch = -1
 
+    def maybe_restore(self, args, name: str):
+        """Seed the tracker from an existing ``<name>_best`` checkpoint so
+        a --resume'd run cannot overwrite a better pre-crash best."""
+        path = artifact(args, f"{name}_best")
+        if not path.exists():
+            return self
+        payload = ckpt.restore_checkpoint(path)
+        extra = payload.get("extra", {})
+        if self.metric in extra:
+            self.best = float(extra[self.metric])
+            self.epoch = int(extra.get("epoch", -1))
+        return self
+
     def update(self, args, epoch: int, rec: dict, artifacts: dict) -> bool:
         """``artifacts`` maps artifact name → params pytree. Saves each as
         ``<name>_best`` when ``rec[self.metric]`` improves on the best so

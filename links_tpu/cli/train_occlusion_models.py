@@ -83,6 +83,8 @@ def main(argv=None):
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
     best = C.BestTracker("pa_scenario_mean")
+    if start_epoch:
+        best.maybe_restore(args, C.OCCLUSION)
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)

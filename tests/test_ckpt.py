@@ -171,3 +171,39 @@ def test_completer_roundtrip_and_pt_file(tmp_path):
         np.asarray(models.completer_apply(back, x)),
         atol=1e-6,
     )
+
+
+def test_best_tracker_update_and_resume_restore(tmp_path):
+    """BestTracker keeps the best-metric artifact and, via maybe_restore,
+    a resumed run cannot regress it (cli/_common.py:BestTracker)."""
+    import argparse
+
+    from links_tpu.cli import _common as C
+
+    args = argparse.Namespace(model_dir=str(tmp_path))
+    params_a = {"w": jnp.ones((2, 2))}
+    params_b = {"w": 2.0 * jnp.ones((2, 2))}
+
+    t = C.BestTracker("pa")
+    assert t.update(args, 0, {"pa": 100.0}, {"thing": params_a})
+    assert not t.update(args, 1, {"pa": 120.0}, {"thing": params_b})  # worse
+    assert not t.update(args, 2, {}, {"thing": params_b})  # no metric
+    assert t.update(args, 3, {"pa": 80.0}, {"thing": params_b})
+    assert t.epoch == 3 and t.best == 80.0
+
+    saved = ckpt.restore_checkpoint(tmp_path / "thing_best")
+    np.testing.assert_allclose(saved["state"]["params"]["w"],
+                               np.asarray(params_b["w"]))
+    assert saved["extra"]["epoch"] == 3 and saved["extra"]["pa"] == 80.0
+
+    # fresh tracker (post-crash resume): restores the 80.0 bar and refuses
+    # a worse "best"
+    t2 = C.BestTracker("pa").maybe_restore(args, "thing")
+    assert t2.best == 80.0 and t2.epoch == 3
+    assert not t2.update(args, 4, {"pa": 90.0}, {"thing": params_a})
+    saved2 = ckpt.restore_checkpoint(tmp_path / "thing_best")
+    assert saved2["extra"]["epoch"] == 3
+
+    # restore on a missing artifact is a no-op
+    t3 = C.BestTracker("pa").maybe_restore(args, "absent")
+    assert t3.best == float("inf")
