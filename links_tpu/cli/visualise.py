@@ -17,8 +17,13 @@ from links_tpu.cli import _common as C
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Render skeletons / predictions")
     parser.add_argument("--what", default="prediction",
-                        choices=["gt3d", "gt2d", "prediction", "occlusion", "samples"])
+                        choices=["gt3d", "gt2d", "prediction", "occlusion",
+                                 "samples", "video"])
     parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--frames", type=int, default=50,
+                        help="sequence length for --what video (starting at "
+                             "--frame)")
+    parser.add_argument("--fps", type=int, default=25)
     parser.add_argument("--scenario", default="left",
                         choices=["la", "ra", "ll", "rl", "torso", "legs",
                                  "left", "right"],
@@ -35,7 +40,8 @@ def main(argv=None):
 
     _, test_data = C.load_train_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
-    out = args.out or f"{args.what}_{args.frame}.png"
+    default_ext = "gif" if args.what == "video" else "png"
+    out = args.out or f"{args.what}_{args.frame}.{default_ext}"
 
     from links_tpu import viz
 
@@ -69,6 +75,26 @@ def main(argv=None):
                                          args.frame, args.scenario, args.depth,
                                          out_path=out)
         print(f"frame {args.frame} scenario {args.scenario}: PA {err:.2f}mm")
+    elif args.what == "video":
+        # GT-vs-prediction comparison clip (the reference ships these
+        # pre-rendered, videos/README.md:1-17)
+        import numpy as np
+
+        from links_tpu.metrics import procrustes_align
+        from links_tpu.objectives import lift_left_right_eval
+
+        stacked = C.load_stacked_lr(args)
+        lo, hi = args.frame, min(args.frame + args.frames, test2d.shape[0])
+
+        @jax.jit
+        def _aligned_pred(params, p2d, gt3d):
+            pred = lift_left_right_eval(params, p2d, args.depth, "right")
+            return procrustes_align(gt3d, pred)
+
+        aligned = _aligned_pred(stacked, test2d[lo:hi], test3d[lo:hi])
+        gt = np.asarray(test3d[lo:hi]).reshape(-1, 3, 17)
+        viz.render_comparison_video(gt, np.asarray(aligned), out,
+                                    fps=args.fps)
     elif args.what == "samples":
         flow = C.load_flow(args, args.flow)
         viz.visualise_flow_samples(flow, test2d, jax.random.PRNGKey(args.seed),

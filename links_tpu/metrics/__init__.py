@@ -101,6 +101,16 @@ def _procrustes_align_best(X, Y):
     return normX * traceTA * (Y0 @ T) + muX
 
 
+def procrustes_align(p_ref, p, num_joints=17):
+    """Similarity-align predictions to references (reflection='best').
+    Inputs (B, 3·J) flat or (B, 3, J); returns aligned preds as (B, 3, J).
+    Used by the comparison-video renderer."""
+    X = p_ref.reshape(-1, 3, num_joints).transpose(0, 2, 1)  # (B, J, 3)
+    Y = p.reshape(-1, 3, num_joints).transpose(0, 2, 1)
+    Z = jax.vmap(_procrustes_align_best)(X, Y)
+    return Z.transpose(0, 2, 1)
+
+
 def pa_mpjpe(p_ref, p, num_joints=17):
     """Batched PA-MPJPE with reflection='best' — the reference's headline
     metric (eval_h36m.py:86-93). Inputs (B, 3·J) in the (3, J) flat layout;

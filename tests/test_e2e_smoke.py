@@ -141,3 +141,14 @@ def test_metrics_logged(workspace):
     for k in ("likeli", "rep_rot", "L3d", "re_rot_3d", "bl_prior",
               "pa_left", "pa_right", "mpjpe_scaled_left"):
         assert k in epoch_recs[-1], k
+
+
+def test_visualise_video(workspace):
+    """--what video renders a GT-vs-prediction comparison clip through the
+    CLI (reference ships pre-rendered videos, videos/README.md:1-17)."""
+    from links_tpu.cli.visualise import main
+
+    out = workspace / "cmp.gif"
+    main(_args(workspace, ["--what", "video", "--frames", "4", "--fps", "2",
+                           "--use-best", "--out", str(out)]))
+    assert out.exists() and out.stat().st_size > 0

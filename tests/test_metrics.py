@@ -111,3 +111,17 @@ def test_mpjpe_single(rng):
     got = float(metrics.mpjpe_single(jnp.asarray(gt[0]), jnp.asarray(pred[0])))
     want = np.linalg.norm(pred[0] - gt[0], axis=0).mean()
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_procrustes_align_consistent_with_pa_mpjpe(rng):
+    """procrustes_align returns the aligned poses whose residual equals
+    pa_mpjpe (it exposes pa_mpjpe's internal alignment for rendering)."""
+    gt, pred = _poses(rng, b=16)
+    gt_flat = jnp.asarray(gt.reshape(-1, 51))
+    pred_flat = jnp.asarray(pred.reshape(-1, 51))
+    aligned = metrics.procrustes_align(gt_flat, pred_flat)
+    assert aligned.shape == (16, 3, 17)
+    resid = jnp.linalg.norm(aligned - gt, axis=1).mean(axis=1)
+    expect = metrics.pa_mpjpe(gt_flat, pred_flat)
+    np.testing.assert_allclose(np.asarray(resid), np.asarray(expect),
+                               rtol=1e-4, atol=0.05)
