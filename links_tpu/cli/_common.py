@@ -283,17 +283,18 @@ def load_stacked_lr(args):
     right_pt = getattr(args, "right_pt", None)
     if bool(left_pt) != bool(right_pt):
         raise ValueError("--left-pt and --right-pt must be given together")
+    name = LIFTER_LR + best_suffix(args)
     if not left_pt:
         cand_l = Path(args.model_dir) / "left_lifter.pt"
         cand_r = Path(args.model_dir) / "right_lifter.pt"
         if (cand_l.exists() and cand_r.exists()
-                and not artifact(args, LIFTER_LR).exists()):
+                and not artifact(args, name).exists()):
             left_pt, right_pt = cand_l, cand_r
     if left_pt:
         left = ckpt.load_lifter_pt(left_pt)
         right = ckpt.load_lifter_pt(right_pt)
         return jax.tree.map(lambda a, b: jnp.stack([a, b]), left, right)
-    return load_params(args, LIFTER_LR + best_suffix(args))
+    return load_params(args, name)
 
 
 class BestTracker:

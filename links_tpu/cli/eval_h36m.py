@@ -82,7 +82,8 @@ def main(argv=None):
     if args.occlusion or args.dropout:
         from links_tpu.objectives import occlusion as occ
 
-        stacked = C.load_stacked_lr(args)
+        if args.mode != "left_right":  # otherwise already loaded above
+            stacked = C.load_stacked_lr(args)
         lifters = {
             "left": jax.tree.map(lambda a: a[0], stacked),
             "right": jax.tree.map(lambda a: a[1], stacked),

@@ -84,6 +84,10 @@ def main(argv=None):
         from links_tpu.objectives import lift_left_right_eval
 
         stacked = C.load_stacked_lr(args)
+        if not 0 <= args.frame < test2d.shape[0]:
+            raise SystemExit(
+                f"--frame {args.frame} out of range (test set has "
+                f"{test2d.shape[0]} poses)")
         lo, hi = args.frame, min(args.frame + args.frames, test2d.shape[0])
 
         @jax.jit

@@ -116,10 +116,9 @@ def pa_mpjpe(p_ref, p, num_joints=17):
     metric (eval_h36m.py:86-93). Inputs (B, 3·J) in the (3, J) flat layout;
     returns per-sample errors (B,). The SVD runs vmapped on device instead
     of a per-sample numpy loop."""
-    X = p_ref.reshape(-1, 3, num_joints).transpose(0, 2, 1)  # (B, J, 3)
-    Y = p.reshape(-1, 3, num_joints).transpose(0, 2, 1)
-    Z = jax.vmap(_procrustes_align_best)(X, Y)
-    return jnp.linalg.norm(Z - X, axis=2).mean(axis=1)
+    Z = procrustes_align(p_ref, p, num_joints)
+    X = p_ref.reshape(-1, 3, num_joints)
+    return jnp.linalg.norm(Z - X, axis=1).mean(axis=1)
 
 
 def procrustes_batch(poses_inp, template_poses, use_reflection=False, use_scaling=True):

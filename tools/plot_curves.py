@@ -53,25 +53,34 @@ def main(argv=None):
         rows = [r for r in load(p) if "loss" in r]  # drop _config headers
         if not rows:
             continue
+        # resumed runs append overlapping epochs (MetricLogger mode 'a');
+        # keep the last record per epoch, in epoch order
+        by_epoch = {r.get("epoch", i): r for i, r in enumerate(rows)}
+        rows = [by_epoch[e] for e in sorted(by_epoch)]
         epochs = [r.get("epoch", i) for i, r in enumerate(rows)]
+
+        def series(key):
+            """(epochs, values) of the rows that contain ``key`` — validation
+            metrics are sparse under --validate-every N."""
+            pts = [(e, r[key]) for e, r in zip(epochs, rows) if key in r]
+            return [p[0] for p in pts], [p[1] for p in pts]
+
         pa_cols = [k for k in PA_KEYS if k in rows[-1]]
         ncols = 2 if pa_cols else 1
         fig, axes = plt.subplots(1, ncols, figsize=(6 * ncols, 4))
         axes = [axes] if ncols == 1 else list(axes)
         for key, label in loss_keys:
             if key in rows[0]:
-                axes[0].plot(epochs, [r[key] for r in rows], label=label)
+                axes[0].plot(*series(key), label=label)
         axes[0].set_title(title)
         axes[0].set_xlabel("epoch")
         axes[0].legend()
         if pa_cols:
             for k in pa_cols:
-                vals = [r[k] for r in rows if k in r]
-                axes[1].plot(epochs[: len(vals)], vals, label=k)
+                axes[1].plot(*series(k), label=k)
             for k in ("mpjpe_scaled_left", "mpjpe_scaled", "n_mpjpe"):
                 if k in rows[-1]:
-                    vals = [r[k] for r in rows if k in r]
-                    axes[1].plot(epochs[: len(vals)], vals, "--", label=k)
+                    axes[1].plot(*series(k), "--", label=k)
             axes[1].set_title("eval error (mm)")
             axes[1].set_xlabel("epoch")
             axes[1].legend()
