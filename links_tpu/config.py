@@ -61,7 +61,6 @@ class LifterTrainConfig:
     noise_factor: float = 0.2
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
-    pallas: bool = False  # fused res_block kernel (ops/pallas_resblock.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,4 +72,3 @@ class OcclusionTrainConfig:
     depth: float = 10.0
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
-    pallas: bool = False

@@ -29,17 +29,11 @@ import jax.numpy as jnp
 @dataclasses.dataclass(frozen=True)
 class Policy:
     """Dtype policy: params in ``param_dtype``, matmuls in ``compute_dtype``
-    with f32 accumulation, outputs back in ``output_dtype``.
-
-    ``pallas`` routes eligible res_blocks (no layernorm/dropout) through the
-    fused Pallas TPU kernel (ops/pallas_resblock.py); off-TPU it runs the
-    kernel in interpret mode. Measured win is small-batch only (≤1k rows,
-    +8% — PERF.md), so it stays opt-in via the ``--pallas`` CLI flag."""
+    with f32 accumulation, outputs back in ``output_dtype``."""
 
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
     output_dtype: jnp.dtype = jnp.float32
-    pallas: bool = False
 
 
 F32 = Policy()

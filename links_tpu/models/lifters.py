@@ -53,19 +53,11 @@ def res_block_apply(p, x, policy: nn.Policy = nn.F32, *,
                     deterministic: bool = True):
     """models_def.py:23-39 — two Linear+LeakyReLU with a residual skip.
 
-    With ``policy.pallas`` (and no layernorm/dropout) the block runs as one
-    fused Pallas kernel: both matmuls, activations and the residual add in a
-    single VMEM-resident pass (ops/pallas_resblock.py)."""
-    if policy.pallas and "ln1" not in p and not dropout_rate:
-        from links_tpu.ops import fused_res_block
-
-        cd = policy.compute_dtype
-        y = fused_res_block(
-            x.astype(cd), p["l1"]["w"].astype(cd), p["l1"]["b"],
-            p["l2"]["w"].astype(cd), p["l2"]["b"],
-            256, jax.default_backend() != "tpu",
-        )
-        return y.astype(policy.output_dtype)
+    Plain XLA only: the stage-3a step is HBM-bound on the res-block weight
+    traffic, which no fusion can reduce, and the measured Pallas kernel
+    loses to XLA at every flagship batch size (PERF.md). The kernel lives
+    on as ``links_tpu.experimental`` with its own apply wrapper; the
+    flagship path carries zero Pallas branching (VERDICT r1 next #6)."""
     h = nn.dense(p["l1"], x, policy)
     if "ln1" in p:
         h = nn.layernorm(p["ln1"], h)
@@ -104,7 +96,17 @@ def init_lifter(key, num_joints: int, use_layernorm: bool = False,
 
 def lifter_apply(p, x, policy: nn.Policy = nn.F32):
     """(B, 2J) 2D part pose → ((B, J) depth offsets, (B, 1) elevation angle);
-    reference models_def.py:88-107."""
+    reference models_def.py:88-107.
+
+    Dispatches on the param-tree structure: an attention-lifter pytree
+    (models/attention.py, carries a 'qkv' leaf) routes to
+    ``attention_lifter_apply`` so every consumer — training objectives,
+    eval, validation — works with either variant. The structure is static
+    under jit/vmap, so the branch costs nothing at trace time."""
+    if "qkv" in p:
+        from links_tpu.models.attention import attention_lifter_apply
+
+        return attention_lifter_apply(p, x, policy)
     h = nn.dense(p["upscale"], x, policy)
     h = nn.leaky_relu(res_block_apply(p["res_common"], h, policy))
 

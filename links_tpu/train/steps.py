@@ -41,7 +41,6 @@ def _policy(cfg) -> nn.Policy:
 
     return nn.Policy(
         compute_dtype=_jnp.bfloat16 if cfg.bf16 else _jnp.float32,
-        pallas=getattr(cfg, "pallas", False),
     )
 
 
