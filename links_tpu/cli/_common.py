@@ -84,9 +84,6 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "epochs (always on the final epoch)")
     parser.add_argument("--f32", action="store_true",
                         help="disable bf16 matmuls (full f32)")
-    parser.add_argument("--pallas", action="store_true",
-                        help="use the fused Pallas res_block kernel "
-                             "(measured win at batch <=1k only, PERF.md)")
     parser.add_argument("--log", default=None, help="JSONL metrics path")
     parser.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
     parser.add_argument("--save-pt", action="store_true",
@@ -283,18 +280,24 @@ def load_stacked_lr(args):
     right_pt = getattr(args, "right_pt", None)
     if bool(left_pt) != bool(right_pt):
         raise ValueError("--left-pt and --right-pt must be given together")
-    name = LIFTER_LR + best_suffix(args)
     if not left_pt:
+        name = LIFTER_LR + best_suffix(args, LIFTER_LR)  # raises for a
+        # missing --use-best artifact rather than silently degrading
+        if artifact(args, name).exists():
+            return load_params(args, name)
+        # reference-layout .pt pair as the final-weights fallback only
         cand_l = Path(args.model_dir) / "left_lifter.pt"
         cand_r = Path(args.model_dir) / "right_lifter.pt"
-        if (cand_l.exists() and cand_r.exists()
-                and not artifact(args, name).exists()):
+        if cand_l.exists() and cand_r.exists():
             left_pt, right_pt = cand_l, cand_r
-    if left_pt:
-        left = ckpt.load_lifter_pt(left_pt)
-        right = ckpt.load_lifter_pt(right_pt)
-        return jax.tree.map(lambda a, b: jnp.stack([a, b]), left, right)
-    return load_params(args, name)
+        else:
+            raise FileNotFoundError(
+                f"no left/right lifter weights: expected {artifact(args, name)}"
+                f" (orbax) or {cand_l} + {cand_r} (reference .pt pair); train "
+                f"stage 3a first or pass --left-pt/--right-pt")
+    left = ckpt.load_lifter_pt(left_pt)
+    right = ckpt.load_lifter_pt(right_pt)
+    return jax.tree.map(lambda a, b: jnp.stack([a, b]), left, right)
 
 
 class BestTracker:
@@ -345,15 +348,55 @@ class BestTracker:
 
 
 def add_use_best_flag(parser: argparse.ArgumentParser):
-    parser.add_argument("--use-best", action="store_true",
-                        help="load the best-validation '<artifact>_best' "
-                             "checkpoints the lifter trainers keep alongside "
-                             "their final weights")
+    g = parser.add_mutually_exclusive_group()
+    g.add_argument("--use-best", action="store_true",
+                   help="require the best-validation '<artifact>_best' "
+                        "checkpoints (error if absent). Without either flag, "
+                        "_best is preferred automatically when it exists — "
+                        "the reference ships hand-picked weights, so the "
+                        "good checkpoint is the default (eval_h36m.py:33-34)")
+    g.add_argument("--use-final", action="store_true",
+                   help="force the last-epoch weights even when a "
+                        "best-validation checkpoint exists")
     return parser
 
 
-def best_suffix(args) -> str:
-    return "_best" if getattr(args, "use_best", False) else ""
+def best_suffix(args, name: str | None = None) -> str:
+    """Checkpoint-variant suffix for artifact ``name``.
+
+    Resolution (VERDICT r1 next #7): ``--use-final`` → final weights;
+    ``--use-best`` → '_best' and it MUST exist (a silent fallback to final
+    weights would hand the user the opposite of what they asked for);
+    neither → '_best' when present (announced), else final. When ``name``
+    is None only the explicit flags are honored (callers without a concrete
+    artifact to probe).
+    """
+    if getattr(args, "use_final", False):
+        return ""
+    explicit = getattr(args, "use_best", False)
+    if name is None:
+        return "_best" if explicit else ""
+    best_path = artifact(args, f"{name}_best")
+    if best_path.exists():
+        if not explicit:
+            _announce_best(best_path, name)
+        return "_best"
+    if explicit:
+        raise FileNotFoundError(
+            f"--use-best: {best_path} does not exist (the trainer writes it "
+            f"on validation improvements); drop the flag or pass --use-final")
+    return ""
+
+
+def _announce_best(best_path: Path, name: str):
+    try:
+        extra = ckpt.restore_checkpoint(best_path).get("extra", {})
+    except Exception:
+        extra = {}
+    detail = ", ".join(f"{k}={v}" for k, v in sorted(extra.items()))
+    print(f"[links_tpu] using best-validation checkpoint for {name}"
+          + (f" ({detail})" if detail else "")
+          + "; pass --use-final for the last-epoch weights")
 
 
 def save_run(args, stage: str, state, key, next_epoch: int):
@@ -400,8 +443,6 @@ def resolve_cfg(args, cfg):
         kw["batch_size"] = args.batch_size
     if args.f32:
         kw["bf16"] = False
-    if getattr(args, "pallas", False) and hasattr(cfg, "pallas"):
-        kw["pallas"] = True
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 
@@ -409,7 +450,23 @@ def maybe_init_distributed(args):
     """Multi-host runtime init. MUST run before the first JAX backend use
     (device access, jnp op, jit) or jax.distributed.initialize() refuses —
     every CLI calls this immediately after parse_args. Idempotent across
-    the in-process pipeline orchestrator."""
+    the in-process pipeline orchestrator.
+
+    Also pins the platform from $JAX_PLATFORMS: some PJRT plugins (e.g.
+    the axon TPU tunnel) override the env var during discovery, so a user
+    asking for `JAX_PLATFORMS=cpu <cli>` would silently land on the
+    accelerator; re-asserting it through jax.config makes the env var
+    authoritative for every CLI."""
+    import os as _os
+
+    env_platform = _os.environ.get("JAX_PLATFORMS")
+    if env_platform:
+        import jax as _jax2
+
+        try:
+            _jax2.config.update("jax_platforms", env_platform)
+        except Exception:
+            pass  # backend already initialized with this platform
     if not getattr(args, "distributed", False):
         return
     import jax as _jax

@@ -42,7 +42,9 @@ def main(argv=None):
     C.add_use_best_flag(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
-    sfx = C.best_suffix(args)
+
+    def _name(base):
+        return base + C.best_suffix(args, base)
 
     _, test_data = C.load_train_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
@@ -56,9 +58,9 @@ def main(argv=None):
             stacked, test2d, args.depth, args.choice
         )
     else:
-        legs = C.load_params(args, C.LIFTER_LEGS + sfx,
+        legs = C.load_params(args, _name(C.LIFTER_LEGS),
                              pt_loader=load_lifter_pt)
-        torso = C.load_params(args, C.LIFTER_TORSO + sfx,
+        torso = C.load_params(args, _name(C.LIFTER_TORSO),
                               pt_loader=load_lifter_pt)
         pred = jax.jit(lift_leg_torso_eval, static_argnums=(3,))(
             legs, torso, test2d, args.depth
@@ -69,7 +71,10 @@ def main(argv=None):
         return {
             "pa_mpjpe": metrics.pa_mpjpe(gt, p).mean(),  # protocol 2
             # protocol 1: root-centered, unscaled (metrics_batch.mpjpe with
-            # use_scaling=False)
+            # use_scaling=False). Predictions live in reconstruction space
+            # (normalized 2D × depth), so this number is NOT millimetres
+            # unless the inputs were prepared in GT units — flagged in the
+            # output below (VERDICT r1 weak #5)
             "mpjpe": metrics.n_mpjpe(gt, p, use_scaling=False,
                                      num_joints=17, root_joint=0).mean(),
             "n_mpjpe": metrics.n_mpjpe(gt, p, num_joints=17, root_joint=0).mean(),
@@ -78,6 +83,10 @@ def main(argv=None):
         }
 
     results.update({k: float(v) for k, v in _all_metrics(test3d, pred).items()})
+    results["mpjpe_units"] = (
+        "reconstruction-space (unscaled protocol-1; predictions are "
+        "normalized-2D x depth, GT units differ — use pa_mpjpe/n_mpjpe "
+        "for scale-corrected errors)")
 
     if args.occlusion or args.dropout:
         from links_tpu.objectives import occlusion as occ
@@ -87,12 +96,12 @@ def main(argv=None):
         lifters = {
             "left": jax.tree.map(lambda a: a[0], stacked),
             "right": jax.tree.map(lambda a: a[1], stacked),
-            "legs": C.load_params(args, C.LIFTER_LEGS + sfx,
+            "legs": C.load_params(args, _name(C.LIFTER_LEGS),
                                   pt_loader=load_lifter_pt),
-            "torso": C.load_params(args, C.LIFTER_TORSO + sfx,
+            "torso": C.load_params(args, _name(C.LIFTER_TORSO),
                                    pt_loader=load_lifter_pt),
         }
-        completers = C.load_params(args, C.OCCLUSION + sfx)
+        completers = C.load_params(args, _name(C.OCCLUSION))
 
     if args.dropout:
         @jax.jit
@@ -132,8 +141,11 @@ def main(argv=None):
         print("The PA-MPJPE error was " + str(results["pa_mpjpe"]))
         print("The N-MPJPE error was " + str(results["n_mpjpe"]))
         for k, v in results.items():
-            if k not in ("pa_mpjpe", "n_mpjpe"):
-                print(f"{k}: {v:.4f}")
+            if k in ("pa_mpjpe", "n_mpjpe", "mpjpe_units"):
+                continue
+            note = (" [unscaled reconstruction units, not mm]"
+                    if k == "mpjpe" else "")
+            print(f"{k}: {v:.4f}{note}")
     return results
 
 

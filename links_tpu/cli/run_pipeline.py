@@ -47,10 +47,14 @@ def main(argv=None):
     parser.add_argument("--eval-args", default="",
                         help="extra flags forwarded only to the eval stage "
                              "(e.g. '--json --occlusion')")
-    parser.add_argument("--use-best", action="store_true",
-                        help="stages 4 and eval consume the lifters' "
-                             "best-validation checkpoints instead of the "
-                             "final-epoch weights")
+    g = parser.add_mutually_exclusive_group()
+    g.add_argument("--use-best", action="store_true",
+                   help="stages 4 and eval REQUIRE the lifters' "
+                        "best-validation checkpoints (they already prefer "
+                        "them by default when present)")
+    g.add_argument("--use-final", action="store_true",
+                   help="stages 4 and eval consume the final-epoch weights "
+                        "even when best-validation checkpoints exist")
     # everything else is forwarded verbatim to the stage CLIs
     args, passthrough = parser.parse_known_args(argv)
 
@@ -68,6 +72,8 @@ def main(argv=None):
             flags = list(forwarded)
             if args.use_best and stage in ("4", "eval"):
                 flags.append("--use-best")
+            if args.use_final and stage in ("4", "eval"):
+                flags.append("--use-final")
             if stage == "eval":
                 flags += eval_extra
             elif attempt > 0:

@@ -94,7 +94,10 @@ def main(argv=None):
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
     best = C.BestTracker("pa")
-    if start_epoch:
+    if args.resume:
+        # unconditional on the run checkpoint existing: a crash before the
+        # first --save-every boundary leaves start_epoch=0 but a valid
+        # <name>_best that must still seed the bar (ADVICE r1)
         best.maybe_restore(args, C.LIFTER_LEGS)
 
     for epoch in range(start_epoch, cfg.n_epochs):

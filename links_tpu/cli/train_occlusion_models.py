@@ -50,7 +50,6 @@ def main(argv=None):
     C.add_use_best_flag(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
-    sfx = C.best_suffix(args)
 
     cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
     train_data, test_data = C.load_train_test(args)
@@ -61,10 +60,12 @@ def main(argv=None):
     lifters = {
         "left": jax.tree.map(lambda a: a[0], stacked_lr),
         "right": jax.tree.map(lambda a: a[1], stacked_lr),
-        "legs": C.load_params(args, C.LIFTER_LEGS + sfx,
-                              pt_loader=load_lifter_pt),
-        "torso": C.load_params(args, C.LIFTER_TORSO + sfx,
-                               pt_loader=load_lifter_pt),
+        "legs": C.load_params(
+            args, C.LIFTER_LEGS + C.best_suffix(args, C.LIFTER_LEGS),
+            pt_loader=load_lifter_pt),
+        "torso": C.load_params(
+            args, C.LIFTER_TORSO + C.best_suffix(args, C.LIFTER_TORSO),
+            pt_loader=load_lifter_pt),
     }
 
     logger = C.make_logger(args, "occlusion_models")
@@ -83,7 +84,10 @@ def main(argv=None):
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
     best = C.BestTracker("pa_scenario_mean")
-    if start_epoch:
+    if args.resume:
+        # unconditional on the run checkpoint existing: a crash before the
+        # first --save-every boundary leaves start_epoch=0 but a valid
+        # <name>_best that must still seed the bar (ADVICE r1)
         best.maybe_restore(args, C.OCCLUSION)
 
     for epoch in range(start_epoch, cfg.n_epochs):
@@ -92,13 +96,16 @@ def main(argv=None):
         rec = {k: float(v) for k, v in losses.items()}
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
-            rec.update({k: float(v) for k, v in
-                        _validate(state.params, lifters, test2d, test3d,
-                                  depth=cfg.depth).items()})
+            val = {k: float(v) for k, v in
+                   _validate(state.params, lifters, test2d, test3d,
+                             depth=cfg.depth).items()}
+            rec.update(val)
             # completers overfit the frozen lifters' pseudo-3D; track the
-            # best mean scenario PA like the lifter stages track theirs
-            pa_keys = [k for k in rec if k.startswith("pa_")]
-            rec["pa_scenario_mean"] = sum(rec[k] for k in pa_keys) / len(pa_keys)
+            # best mean scenario PA like the lifter stages track theirs.
+            # Mean over the validation scenarios only — scanning the merged
+            # rec would pick up any future pa_* training loss (ADVICE r1)
+            pa_keys = [k for k in val if k.startswith("pa_")]
+            rec["pa_scenario_mean"] = sum(val[k] for k in pa_keys) / len(pa_keys)
             if best.update(args, epoch, rec, {C.OCCLUSION: state.params}):
                 msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"

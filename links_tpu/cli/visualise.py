@@ -36,7 +36,9 @@ def main(argv=None):
     C.add_use_best_flag(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
-    sfx = C.best_suffix(args)
+
+    def _name(base):
+        return base + C.best_suffix(args, base)
 
     _, test_data = C.load_train_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
@@ -65,12 +67,12 @@ def main(argv=None):
         lifters = {
             "left": jax.tree.map(lambda a: a[0], stacked),
             "right": jax.tree.map(lambda a: a[1], stacked),
-            "legs": C.load_params(args, C.LIFTER_LEGS + sfx,
+            "legs": C.load_params(args, _name(C.LIFTER_LEGS),
                                   pt_loader=load_lifter_pt),
-            "torso": C.load_params(args, C.LIFTER_TORSO + sfx,
+            "torso": C.load_params(args, _name(C.LIFTER_TORSO),
                                    pt_loader=load_lifter_pt),
         }
-        completers = C.load_params(args, C.OCCLUSION + sfx)
+        completers = C.load_params(args, _name(C.OCCLUSION))
         _, err = viz.visualise_occlusion(completers, lifters, test2d, test3d,
                                          args.frame, args.scenario, args.depth,
                                          out_path=out)
@@ -88,6 +90,8 @@ def main(argv=None):
             raise SystemExit(
                 f"--frame {args.frame} out of range (test set has "
                 f"{test2d.shape[0]} poses)")
+        if args.frames < 1:
+            raise SystemExit(f"--frames must be >= 1 (got {args.frames})")
         lo, hi = args.frame, min(args.frame + args.frames, test2d.shape[0])
 
         @jax.jit

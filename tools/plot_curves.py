@@ -54,10 +54,15 @@ def main(argv=None):
         if not rows:
             continue
         # resumed runs append overlapping epochs (MetricLogger mode 'a');
-        # keep the last record per epoch, in epoch order
-        by_epoch = {r.get("epoch", i): r for i, r in enumerate(rows)}
+        # keep the last record per epoch, in epoch order. All trainers write
+        # an 'epoch' key; a row without one would otherwise collide with a
+        # real epoch number and silently drop it (ADVICE r1)
+        rows = [r for r in rows if "epoch" in r]
+        if not rows:
+            continue
+        by_epoch = {r["epoch"]: r for r in rows}
         rows = [by_epoch[e] for e in sorted(by_epoch)]
-        epochs = [r.get("epoch", i) for i, r in enumerate(rows)]
+        epochs = [r["epoch"] for r in rows]
 
         def series(key):
             """(epochs, values) of the rows that contain ``key`` — validation
