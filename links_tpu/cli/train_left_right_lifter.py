@@ -51,6 +51,15 @@ def main(argv=None):
                         help="bone-relation prior means "
                              "(train_left_right_lifter.py:76-94); 'data' "
                              "computes them from the train set's 3D GT")
+    parser.add_argument("--attention", action="store_true",
+                        help="train the 2-head attention lifter variant "
+                             "(models/attention.py) instead of the MLP — "
+                             "the reference's undefined "
+                             "Attention_Left_Right_Lifter(num_heads=2) "
+                             "(train_left_right_lifter.py:67-68) supplied "
+                             "for real; downstream stages work unchanged "
+                             "(lifter_apply dispatches on the checkpoint's "
+                             "param structure)")
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
@@ -74,10 +83,12 @@ def main(argv=None):
 
     key = C.key_from_seed(args.seed)
     key, kl, kr = jax.random.split(key, 3)
+    init_fn = (models.init_attention_lifter if args.attention
+               else models.init_lifter)
     stacked = jax.tree.map(
         lambda a, b: jnp.stack([a, b]),
-        models.init_lifter(kl, models.SIDE_JOINTS),
-        models.init_lifter(kr, models.SIDE_JOINTS),
+        init_fn(kl, models.SIDE_JOINTS),
+        init_fn(kr, models.SIDE_JOINTS),
     )
 
     bone_means = None  # objective default = H36M means
@@ -102,7 +113,10 @@ def main(argv=None):
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
     best = C.BestTracker("pa_mean")
-    if start_epoch:
+    if args.resume:
+        # unconditional on the run checkpoint existing: a crash before the
+        # first --save-every boundary leaves start_epoch=0 but a valid
+        # <name>_best that must still seed the bar (ADVICE r1)
         best.maybe_restore(args, C.LIFTER_LR)
 
     for epoch in range(start_epoch, cfg.n_epochs):
@@ -127,7 +141,10 @@ def main(argv=None):
             C.save_params(args, C.LIFTER_LR, state.params)
             C.save_run(args, "left_right", state, key, epoch + 1)
 
-    if args.save_pt:
+    if args.save_pt and args.attention:
+        print("[links_tpu] --save-pt skipped: the reference has no "
+              "attention-lifter class to hold these weights")
+    elif args.save_pt:
         from links_tpu import ckpt
 
         left = jax.tree.map(lambda a: a[0], state.params)
