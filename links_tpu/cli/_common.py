@@ -8,6 +8,7 @@ using stable names; every loader also accepts a reference ``.pt`` path
 from __future__ import annotations
 
 import argparse
+import sys
 from pathlib import Path
 
 import jax
@@ -394,9 +395,11 @@ def _announce_best(best_path: Path, name: str):
     except Exception:
         extra = {}
     detail = ", ".join(f"{k}={v}" for k, v in sorted(extra.items()))
+    # stderr: eval --json pipes stdout into result files
     print(f"[links_tpu] using best-validation checkpoint for {name}"
           + (f" ({detail})" if detail else "")
-          + "; pass --use-final for the last-epoch weights")
+          + "; pass --use-final for the last-epoch weights",
+          file=sys.stderr)
 
 
 def save_run(args, stage: str, state, key, next_epoch: int):
