@@ -122,10 +122,18 @@ def ensure_data(args) -> Path:
     if not path.exists():
         if args.synthetic:
             print(f"[links_tpu] generating synthetic data at {path}")
+            test_subjects = ("S9", "S11")
+            if getattr(args, "dataset", "h36m") == "mpi":
+                from links_tpu.data import MPI_SUBJECTS
+
+                # MPI evaluates on its last two subjects; size them (and the
+                # unused-by-MPI S9/S11) with the test count
+                test_subjects = MPI_SUBJECTS[-2:] + test_subjects
             write_synthetic_pickle(path, n_per_subject=args.synthetic_n,
                                    seed=args.seed,
                                    n_test_per_subject=getattr(
-                                       args, "synthetic_test_n", None))
+                                       args, "synthetic_test_n", None),
+                                   test_subjects=test_subjects)
         else:
             raise FileNotFoundError(
                 f"{path} not found. Produce it with links_tpu.data.preprocess "

@@ -131,15 +131,17 @@ def generate_poses(n: int, seed: int = 0):
 def write_synthetic_pickle(path, n_per_subject: int = 128, seed: int = 0,
                            subjects=("S1", "S2", "S3", "S4", "S5", "S6", "S7",
                                      "S8", "S9", "S11"),
-                           n_test_per_subject: int | None = None):
+                           n_test_per_subject: int | None = None,
+                           test_subjects=("S9", "S11")):
     """Reference-schema pickle with synthetic data for every subject.
 
-    ``n_test_per_subject`` (default: ``n_per_subject``) sizes the eval
-    subjects S9/S11 independently, so large training sets don't force an
-    equally large per-epoch validation sweep."""
+    ``n_test_per_subject`` (default: ``n_per_subject``) sizes the
+    ``test_subjects`` independently, so large training sets don't force an
+    equally large per-epoch validation sweep. H36M evaluates on S9/S11;
+    for ``--dataset mpi`` the caller passes S7/S8 (MPI_SUBJECTS[-2:]) too."""
     n_test = n_per_subject if n_test_per_subject is None else n_test_per_subject
     processed = {
-        s: generate_poses(n_test if s in ("S9", "S11") else n_per_subject,
+        s: generate_poses(n_test if s in test_subjects else n_per_subject,
                           seed=seed + i)
         for i, s in enumerate(subjects)
     }

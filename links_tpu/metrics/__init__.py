@@ -83,6 +83,30 @@ def get_all(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
     return out
 
 
+_SVD_CHUNK = 8192
+# The batched 3×3 SVD lowers to a QR custom-call whose *scoped VMEM*
+# allocation scales with the batch dimension: at ~65k poses it needs 21MB
+# against the 16MB cap and compilation aborts (observed on v5e during the
+# 65k-pose MPI validation sweep). Real eval sets are larger still (H36M
+# S9/S11 is >100k frames), so every Procrustes entry point runs its SVD
+# through fixed-size lax.map chunks — bounded VMEM at any batch size, at
+# the cost of a sequential loop over ⌈B/8192⌉ slices (negligible: the
+# per-chunk SVD is microseconds of compute).
+
+
+def _map_chunks(fn, xs, n):
+    """Apply batched ``fn`` to the leading-axis-``n`` pytree ``xs`` in
+    _SVD_CHUNK-sized slices via lax.map (cyclic-padding the tail chunk)."""
+    if n <= _SVD_CHUNK:
+        return fn(xs)
+    pad = (-n) % _SVD_CHUNK
+    if pad:
+        xs = jax.tree.map(lambda a: jnp.concatenate([a, a[:pad]]), xs)
+    xs = jax.tree.map(lambda a: a.reshape(-1, _SVD_CHUNK, *a.shape[1:]), xs)
+    out = jax.lax.map(fn, xs)
+    return out.reshape(-1, *out.shape[2:])[:n]
+
+
 def _procrustes_align_best(X, Y):
     """MATLAB-procrustes similarity transform of one pose pair, reflection
     allowed (utils/metrics.py:62-171). X, Y: (J, 3); returns Z = aligned Y."""
@@ -107,7 +131,8 @@ def procrustes_align(p_ref, p, num_joints=17):
     Used by the comparison-video renderer."""
     X = p_ref.reshape(-1, 3, num_joints).transpose(0, 2, 1)  # (B, J, 3)
     Y = p.reshape(-1, 3, num_joints).transpose(0, 2, 1)
-    Z = jax.vmap(_procrustes_align_best)(X, Y)
+    Z = _map_chunks(lambda xy: jax.vmap(_procrustes_align_best)(*xy),
+                    (X, Y), X.shape[0])
     return Z.transpose(0, 2, 1)
 
 
@@ -152,7 +177,9 @@ def pmpjpe_batch(p_ref, p, use_reflection=False, num_joints=17):
     (utils/metrics_batch.py:104-114). Returns (B,)."""
     p = p.reshape(-1, 3, num_joints)
     p_ref = p_ref.reshape(-1, 3, num_joints)
-    aligned = procrustes_batch(p, p_ref, use_reflection=use_reflection)
+    aligned = _map_chunks(
+        lambda c: procrustes_batch(c[0], c[1], use_reflection=use_reflection),
+        (p, p_ref), p.shape[0])
     return jnp.linalg.norm(p_ref - aligned, axis=1).mean(axis=1)
 
 

@@ -125,3 +125,21 @@ def test_procrustes_align_consistent_with_pa_mpjpe(rng):
     expect = metrics.pa_mpjpe(gt_flat, pred_flat)
     np.testing.assert_allclose(np.asarray(resid), np.asarray(expect),
                                rtol=1e-4, atol=0.05)
+
+
+def test_chunked_svd_matches_unchunked(rng, monkeypatch):
+    """VMEM-bounded Procrustes: the lax.map chunking (incl. the padded tail
+    chunk) must match the direct vmapped path — the 65k-pose
+    MPI validation sweep exceeded the 16MB scoped-VMEM cap without it."""
+    gt, pred = _poses(rng, b=23)
+    gt_f, pred_f = jnp.asarray(gt.reshape(-1, 51)), jnp.asarray(pred.reshape(-1, 51))
+    direct_pa = np.asarray(metrics.pa_mpjpe(gt_f, pred_f))
+    direct_pm = np.asarray(metrics.pmpjpe_batch(gt_f, pred_f))
+
+    monkeypatch.setattr(metrics, "_SVD_CHUNK", 7)  # 23 → 3 chunks + pad 5
+    # not bit-identical: lax.map compiles the chunk body separately, so f32
+    # fusion order differs from the direct vmap (rel diff ~1e-6)
+    np.testing.assert_allclose(np.asarray(metrics.pa_mpjpe(gt_f, pred_f)),
+                               direct_pa, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(metrics.pmpjpe_batch(gt_f, pred_f)),
+                               direct_pm, rtol=1e-5)
