@@ -1,0 +1,164 @@
+"""Batch 2D→3D lifting inference — the production serving surface.
+
+The reference exposes prediction only through its visualiser
+(visualisation/h36m_prediction_visualiser.py:244-320, one frame at a time,
+matplotlib-bound). This CLI is the framework's deployable counterpart:
+normalized 2D keypoints in, camera-frame 3D poses out, as one fixed-shape
+jitted program driven over padded chunks so arbitrary request sizes reuse a
+single compiled executable (no shape-churn recompiles — the serving
+requirement XLA imposes).
+
+Inputs:
+  * ``--data`` — a dataset pickle; the test split is normalized exactly as
+    eval does (utils/helpers.py:222-259 scales), or
+  * ``--raw-2d`` — a .npy/.npz of already-normalized (N, 34) poses, the
+    contract an upstream 2D detector service would fulfil.
+
+``--scenario`` serves the paper's occlusion story end-to-end: the limb's
+keypoints are zeroed, the pose is lifted from the visible joints only and
+the missing 3D part is infilled by the stage-4 completers
+(train_occlusion_models.py:317-399 routing).
+
+Output: ``--out`` .npz with ``poses_3d`` (N, 3, 17) [+ ``poses_2d`` echo],
+plus one JSON summary line on stdout (count, wall time, poses/sec).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from links_tpu.cli import _common as C
+
+
+def _load_raw_2d(path: str) -> np.ndarray:
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            key = "poses_2d" if "poses_2d" in z else list(z.keys())[0]
+            arr = z[key]
+    else:
+        arr = np.load(path)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 3 and arr.shape[1:] == (2, 17):
+        arr = arr.reshape(-1, 34)
+    if arr.ndim != 2 or arr.shape[1] != 34:
+        raise SystemExit(
+            f"--raw-2d must be (N, 34) or (N, 2, 17) normalized 2D poses, "
+            f"got {arr.shape}")
+    return arr
+
+
+def _chunked(fn, poses_2d: np.ndarray, batch: int) -> np.ndarray:
+    """Run ``fn`` over fixed-size chunks (last chunk padded) so every call
+    hits the same compiled executable."""
+    n = poses_2d.shape[0]
+    pad = (-n) % batch
+    if pad:
+        poses_2d = np.concatenate([poses_2d, poses_2d[-1:].repeat(pad, 0)])
+    outs = [np.asarray(fn(jnp.asarray(poses_2d[i:i + batch])))
+            for i in range(0, poses_2d.shape[0], batch)]
+    return np.concatenate(outs)[:n]
+
+
+def main(argv=None):
+    from links_tpu.objectives import occlusion as occ
+
+    parser = argparse.ArgumentParser(
+        description="Batch 2D→3D pose lifting (serving path)")
+    parser.add_argument("--mode", choices=["left_right", "leg_torso"],
+                        default="left_right")
+    parser.add_argument("--choice", choices=["left", "right"], default="right")
+    parser.add_argument("--depth", type=float, default=10.0)
+    parser.add_argument("--raw-2d", default=None,
+                        help=".npy/.npz of normalized (N,34) 2D poses; "
+                             "bypasses the dataset loader")
+    parser.add_argument("--scenario", default=None,
+                        choices=sorted(occ.DROPOUT_SCENARIO_JOINTS),
+                        help="occluded-limb scenario: zero its 2D keypoints, "
+                             "lift the visible part and infill the missing "
+                             "3D joints with the stage-4 completers")
+    parser.add_argument("--out", required=True, help="output .npz path")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="lift only the first N poses")
+    C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
+    args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
+
+    from links_tpu.ckpt import load_lifter_pt
+    from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
+
+    def _name(base):
+        return base + C.best_suffix(args, base)
+
+    if args.raw_2d:
+        poses_2d = _load_raw_2d(args.raw_2d)
+    else:
+        _, test_data = C.load_train_test(args)
+        poses_2d = np.asarray(test_data.poses_2d)
+    if args.limit:
+        poses_2d = poses_2d[: args.limit]
+    n = poses_2d.shape[0]
+    batch = min(args.batch_size or 256, max(n, 1))
+
+    if args.scenario:
+        # occluded serving path: lifters that never see the dropped joints
+        # + completer infill (dropout_eval_poses semantics, single scenario)
+        stacked = C.load_stacked_lr(args)
+        lifters = {
+            "left": jax.tree.map(lambda a: a[0], stacked),
+            "right": jax.tree.map(lambda a: a[1], stacked),
+            "legs": C.load_params(args, _name(C.LIFTER_LEGS),
+                                  pt_loader=load_lifter_pt),
+            "torso": C.load_params(args, _name(C.LIFTER_TORSO),
+                                   pt_loader=load_lifter_pt),
+        }
+        completers = C.load_params(args, _name(C.OCCLUSION))
+        joints = occ.DROPOUT_SCENARIO_JOINTS[args.scenario]
+
+        # model weights are jit *arguments* (closure-captured arrays bake
+        # into the HLO as constants and stall compilation)
+        @jax.jit
+        def _infill(cs, ls, p2d):
+            occluded = occ.drop_keypoints(p2d, joints)
+            return occ.occlusion_validation_poses(
+                cs, ls, occluded, args.depth,
+                scenarios=(args.scenario,))[args.scenario]
+
+        fn = lambda p2d: _infill(completers, lifters, p2d)
+    elif args.mode == "left_right":
+        stacked = C.load_stacked_lr(args)
+        _lift = jax.jit(lift_left_right_eval, static_argnums=(2, 3))
+        fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice)
+    else:
+        legs = C.load_params(args, _name(C.LIFTER_LEGS),
+                             pt_loader=load_lifter_pt)
+        torso = C.load_params(args, _name(C.LIFTER_TORSO),
+                              pt_loader=load_lifter_pt)
+        _lift = jax.jit(lift_leg_torso_eval, static_argnums=(3,))
+        fn = lambda p2d: _lift(legs, torso, p2d, args.depth)
+
+    _chunked(fn, poses_2d[:batch], batch)  # warm the executable
+    t0 = time.perf_counter()
+    pred = _chunked(fn, poses_2d, batch)
+    dt = time.perf_counter() - t0
+
+    pred_3d = pred.reshape(n, 3, 17)
+    np.savez_compressed(args.out, poses_3d=pred_3d, poses_2d=poses_2d)
+    print(json.dumps({
+        "poses": n, "batch": batch, "mode": args.mode,
+        "scenario": args.scenario, "seconds": round(dt, 4),
+        "poses_per_sec": round(n / dt, 1) if dt > 0 else None,
+        "out": args.out,
+    }))
+    return pred_3d
+
+
+if __name__ == "__main__":
+    main()

@@ -158,6 +158,33 @@ def test_attention_lifter_variant(workspace):
     assert np.isfinite(res["pa_mpjpe"])
 
 
+def test_lift_cli(workspace, tmp_path):
+    """Batch-inference serving surface: dataset path, raw-2D contract path,
+    and occluded-scenario infill all emit (N,3,17) npz + a JSON summary."""
+    from links_tpu.cli.lift import main
+
+    out = tmp_path / "pred.npz"
+    pred = main(_args(workspace, ["--out", str(out), "--limit", "48"]))
+    assert pred.shape == (48, 3, 17) and np.isfinite(pred).all()
+    with np.load(out) as z:
+        assert z["poses_3d"].shape == (48, 3, 17)
+        p2d = z["poses_2d"]
+
+    # raw-2D serving contract: normalized (N,34) in, no dataset loader
+    raw = tmp_path / "raw.npy"
+    np.save(raw, p2d)
+    out2 = tmp_path / "pred_raw.npz"
+    pred2 = main(_args(workspace, ["--raw-2d", str(raw), "--out", str(out2),
+                                   "--mode", "leg_torso"]))
+    assert pred2.shape == (48, 3, 17) and np.isfinite(pred2).all()
+
+    # occluded serving path: lift visible joints + completer infill
+    out3 = tmp_path / "pred_occ.npz"
+    pred3 = main(_args(workspace, ["--raw-2d", str(raw), "--out", str(out3),
+                                   "--scenario", "torso"]))
+    assert pred3.shape == (48, 3, 17) and np.isfinite(pred3).all()
+
+
 def test_visualise_video(workspace):
     """--what video renders a GT-vs-prediction comparison clip through the
     CLI (reference ships pre-rendered videos, videos/README.md:1-17)."""
