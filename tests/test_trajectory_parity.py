@@ -351,3 +351,111 @@ class TestStage3bTrajectoryParity:
             for name, value in ckpt.lifter_to_torch(params).items():
                 rel = _rel_l2(sd[name].detach().numpy(), value)
                 assert rel < 5e-3, (name, rel)
+
+
+class TestStage4TrajectoryParity:
+    # reference attr name -> links_tpu completer name
+    NAME_MAP = {
+        "left_leg_predictor": "left_leg",
+        "right_leg_predictor": "right_leg",
+        "left_arm_predictor": "left_arm",
+        "right_arm_predictor": "right_arm",
+        "both_legs_predictor": "both_legs",
+        "torso_predictor": "torso",
+        "left_predictor": "left_side",
+        "right_predictor": "right_side",
+    }
+
+    def test_losses_and_params_track_over_epochs(self, rng, monkeypatch):
+        """Multi-step differential for the occlusion stage
+        (train_occlusion_models.py:144-313 + the 8 Adams/ExponentialLRs of
+        :111-137): all 8 completers vs the single optax chain over the
+        completer dict, through the same LR staircase."""
+        import links_tpu.objectives.occlusion as occ_obj
+        from links_tpu.config import OcclusionTrainConfig
+        from tests._reference_shim import load_reference
+
+        ref = load_reference()
+        keys = jax.random.split(jax.random.PRNGKey(11), 3)
+        leg_p = models.init_lifter(keys[0], 7)
+        torso_p = models.init_lifter(keys[1], 10)
+        completers = models.init_all_completers(keys[2])
+
+        batches = _batches(rng, N_STEPS)
+        # two cumulative y-rotation draws per step (:252 and :279)
+        u_rots = [(rng.uniform(size=(B, 1)).astype(np.float32),
+                   rng.uniform(size=(B, 1)).astype(np.float32))
+                  for _ in range(N_STEPS)]
+
+        # ---- torch: reference training_step + 8 optimizers/schedulers ----
+        mod = load_trainer_module(
+            "train_occlusion_models.py", r"^## load pretrained lifting networks")
+
+        def make_lifter(cls, nj, params):
+            m = cls(num_joints=nj)
+            m.load_state_dict({k: _t(v) for k, v in
+                               ckpt.lifter_to_torch(params).items()})
+            return m
+
+        lit = mod.Limb_Predictor(
+            make_lifter(ref.models_def.Torso_Lifter, 10, torso_p),
+            make_lifter(ref.models_def.Leg_Lifter, 7, leg_p),
+            make_lifter(ref.models_def.Left_Right_Lifter, 11,
+                        models.init_lifter(jax.random.PRNGKey(99), 11)),
+            make_lifter(ref.models_def.Left_Right_Lifter, 11,
+                        models.init_lifter(jax.random.PRNGKey(98), 11)),
+        )
+        for attr, name in self.NAME_MAP.items():
+            sd = {k: _t(v) for k, v in
+                  ckpt.completer_to_torch(completers[name]).items()}
+            _, unexpected = getattr(lit, attr).load_state_dict(sd, strict=False)
+            assert not unexpected, (attr, unexpected)
+        opts, scheds = lit.configure_optimizers()
+        lit._test_optimizers = opts
+        lit._test_schedulers = scheds
+
+        rot_q = [_t(u) for pair in u_rots for u in pair]
+        monkeypatch.setattr(torch, "rand", lambda *size, **k: rot_q.pop(0))
+
+        torch_losses, torch_lrs = [], []
+        for t in range(N_STEPS):
+            lit.training_step({"p2d_gt": _t(batches[t])}, t % SPE)
+            torch_losses.append(float(lit.losses.loss.detach()))
+            torch_lrs.append(opts[0].param_groups[0]["lr"])
+            if (t + 1) % SPE == 0:  # training_epoch_end (:139-142)
+                for s in scheds:
+                    s.step()
+
+        # ---- links_tpu: production step + optax chain, injected RNG ----
+        # occlusion_loss splits its key then draws uniform twice; route the
+        # pre-drawn pair through by making split the identity on the pair
+        # and uniform return its "key" (a pre-drawn array, traced per step)
+        monkeypatch.setattr(occ_obj.jax.random, "split",
+                            lambda key, num=2: key)
+        monkeypatch.setattr(occ_obj.jax.random, "uniform",
+                            lambda key, shape=None, *a, **k: key)
+        cfg = OcclusionTrainConfig(bf16=False)
+        optimizer = train.make_optimizer(cfg.optim, SPE)
+        step = jax.jit(steps.build_occlusion_step(
+            leg_p, torso_p, optimizer, cfg))
+        state = steps.init_state(completers, optimizer)
+        jax_losses = []
+        for t in range(N_STEPS):
+            state, aux = step(state, jnp.asarray(batches[t]),
+                              (jnp.asarray(u_rots[t][0]),
+                               jnp.asarray(u_rots[t][1])))
+            jax_losses.append(float(aux["loss"]))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3,
+                                   atol=0.05)
+        np.testing.assert_allclose(
+            torch_lrs,
+            [cfg.optim.learning_rate * cfg.optim.lr_gamma ** (t // SPE)
+             for t in range(N_STEPS)], rtol=1e-6)
+
+        for attr, name in self.NAME_MAP.items():
+            sd = getattr(lit, attr).state_dict()
+            for pname, value in ckpt.completer_to_torch(
+                    state.params[name]).items():
+                rel = _rel_l2(sd[pname].detach().numpy(), value)
+                assert rel < 5e-3, (attr, pname, rel)
