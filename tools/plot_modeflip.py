@@ -1,9 +1,9 @@
-"""Overlay the rebuild's and the reference's stage-3a validation-PA curves
-from the mode-flip control experiment (tools/run_modeflip_control.sh) into
-one figure + a small markdown summary.
+"""Overlay the mode-flip control curves: the torch reference trainer vs the
+links_tpu rebuild, both trained on the SAME synthetic pickle with the SAME
+frozen flows (VERDICT r1 next #3 — "does torch flip too?").
 
 Usage:
-    python tools/plot_modeflip.py results/modeflip --out results/modeflip/modeflip_control.png
+    python tools/plot_modeflip.py results/modeflip --out results/modeflip/overlay.png
 """
 
 from __future__ import annotations
@@ -17,77 +17,64 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
 
-# categorical slots 1/2 (identity encoding; fixed order, not cycled)
-C_REBUILD = "#2a78d6"
-C_REFERENCE = "#eb6834"
 
-
-def load_curve(path: Path):
-    epochs, pa = [], []
+def load(path: Path):
+    rows = []
     with open(path) as f:
         for line in f:
             line = line.strip()
-            if not line:
-                continue
-            r = json.loads(line)
-            if "epoch" not in r:
-                continue
-            if "pa_mean" in r:
-                epochs.append(r["epoch"])
-                pa.append(r["pa_mean"])
-            elif "pa_left" in r and "pa_right" in r:
-                epochs.append(r["epoch"])
-                pa.append((r["pa_left"] + r["pa_right"]) / 2)
-    return epochs, pa
+            if line:
+                r = json.loads(line)
+                if "epoch" in r:
+                    rows.append(r)
+    return rows
+
+
+def pa_mean(r):
+    if "pa_mean" in r:
+        return r["pa_mean"]
+    return (r["pa_left"] + r["pa_right"]) / 2.0
 
 
 def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("curve_dir", type=Path,
-                    help="dir with rebuild_curve.jsonl + reference_curve.jsonl")
-    ap.add_argument("--out", type=Path, default=None)
-    args = ap.parse_args(argv)
-    out = args.out or args.curve_dir / "modeflip_control.png"
+    parser = argparse.ArgumentParser()
+    parser.add_argument("dir", help="dir holding {rebuild,reference}_curve.jsonl")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args(argv)
 
-    series = []
-    for name, label, color in (
-            ("rebuild_curve.jsonl", "links_tpu (jax, TPU)", C_REBUILD),
-            ("reference_curve.jsonl", "reference (torch, CPU)", C_REFERENCE)):
-        p = args.curve_dir / name
-        if p.exists():
-            e, pa = load_curve(p)
-            if e:
-                series.append((label, color, e, pa))
+    d = Path(args.dir)
+    rebuild = load(d / "rebuild_curve.jsonl")
+    reference = load(d / "reference_curve.jsonl")
+    out = args.out or str(d / "overlay.png")
 
-    fig, ax = plt.subplots(figsize=(8, 4.5))
-    for label, color, e, pa in series:
-        ax.plot(e, pa, color=color, linewidth=2, label=label)
-        i_best = min(range(len(pa)), key=pa.__getitem__)
-        ax.scatter([e[i_best]], [pa[i_best]], color=color, s=28, zorder=3)
-        ax.annotate(f"best {pa[i_best]:.1f} @ ep {e[i_best]}",
-                    (e[i_best], pa[i_best]), textcoords="offset points",
-                    xytext=(6, -12), fontsize=8, color="#444444")
-    ax.set_xlabel("epoch")
-    ax.set_ylabel("validation PA-MPJPE (mm)")
-    ax.set_title("Stage-3a mode-flip control: same corpus, same frozen flows")
-    ax.grid(True, color="#e6e6e6", linewidth=0.6)
-    ax.set_axisbelow(True)
-    for s in ("top", "right"):
-        ax.spines[s].set_visible(False)
-    if len(series) >= 2:
-        ax.legend(frameon=False)
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    for rows, label, color in ((reference, "torch reference", "#d62728"),
+                               (rebuild, "links_tpu rebuild", "#1f77b4")):
+        ep = [r["epoch"] for r in rows]
+        ax1.plot(ep, [pa_mean(r) for r in rows], label=label, color=color)
+        ax2.plot(ep, [r["loss"] for r in rows], label=label, color=color)
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("validation PA-MPJPE (mm)")
+    ax1.set_title("Validation PA-MPJPE")
+    ax1.legend()
+    ax2.set_xlabel("epoch")
+    ax2.set_ylabel("training loss")
+    ax2.set_title("Training loss")
+    ax2.legend()
+    fig.suptitle("Mode-flip control: same corpus, same frozen flows")
     fig.tight_layout()
     fig.savefig(out, dpi=120)
-    print(f"wrote {out}")
+    print(out)
 
-    md = out.with_suffix(".md")
-    with open(md, "w") as f:
-        f.write("| trainer | best PA (epoch) | final PA (epoch) |\n|---|---|---|\n")
-        for label, _, e, pa in series:
-            i = min(range(len(pa)), key=pa.__getitem__)
-            f.write(f"| {label} | {pa[i]:.1f} (ep {e[i]}) | "
-                    f"{pa[-1]:.1f} (ep {e[-1]}) |\n")
-    print(f"wrote {md}")
+    # console summary for RESULTS.md
+    for rows, name in ((reference, "reference"), (rebuild, "rebuild")):
+        if not rows:
+            continue
+        best = min(rows, key=pa_mean)
+        last = rows[-1]
+        print(f"{name}: best PA {pa_mean(best):.1f} @ ep{int(best['epoch'])}, "
+              f"final PA {pa_mean(last):.1f} @ ep{int(last['epoch'])}, "
+              f"loss {rows[0]['loss']:.1f} -> {last['loss']:.1f}")
 
 
 if __name__ == "__main__":
