@@ -47,9 +47,14 @@ def main(argv=None):
     reference = load(d / "reference_curve.jsonl")
     out = args.out or str(d / "overlay.png")
 
+    series = [(reference, "torch reference", "#d62728"),
+              (rebuild, "links_tpu rebuild", "#1f77b4")]
+    att_path = d / "attention_curve.jsonl"
+    if att_path.exists():
+        series.append((load(att_path), "links_tpu attention", "#2ca02c"))
+
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
-    for rows, label, color in ((reference, "torch reference", "#d62728"),
-                               (rebuild, "links_tpu rebuild", "#1f77b4")):
+    for rows, label, color in series:
         ep = [r["epoch"] for r in rows]
         ax1.plot(ep, [pa_mean(r) for r in rows], label=label, color=color)
         ax2.plot(ep, [r["loss"] for r in rows], label=label, color=color)
@@ -67,7 +72,7 @@ def main(argv=None):
     print(out)
 
     # console summary for RESULTS.md
-    for rows, name in ((reference, "reference"), (rebuild, "rebuild")):
+    for rows, name, _ in series:
         if not rows:
             continue
         best = min(rows, key=pa_mean)
