@@ -10,7 +10,8 @@ program (links_tpu/train/loop.py), mirroring how the framework actually
 trains.
 
 ``--all`` additionally prints one JSON line per remaining stage (1, 2, 3b,
-4). ``--dp-sweep`` measures stage-3a DP
+4). ``--serve`` prints inference serving rows (p50 latency + poses/s of
+the links-lift forward at batch 1/256/4096). ``--dp-sweep`` measures stage-3a DP
 scaling on a virtual CPU mesh (1/2/4/8 devices) in subprocesses — real
 multi-chip hardware is not reachable from this harness, so the sweep
 reports *scaling efficiency* of the sharded program, not absolute TPU
@@ -175,6 +176,50 @@ def _measure_stage4(batch: int = BATCH) -> float:
     return _bench_epochs(step, completers, optimizer, batch)
 
 
+def _measure_serving(batch: int) -> tuple[float, float]:
+    """Inference serving numbers for the left/right lifting forward (the
+    `links-lift` CLI's jitted program, cli/lift.py): returns
+    (per-call latency ms, poses/s) at a fixed batch size."""
+    import jax
+    import jax.numpy as jnp
+
+    from links_tpu import models
+    from links_tpu.objectives import lift_left_right_eval
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(keys[0], models.SIDE_JOINTS),
+        models.init_lifter(keys[1], models.SIDE_JOINTS),
+    )
+    poses = jax.random.normal(keys[2], (batch, 34), jnp.float32) * 0.1
+    poses = poses.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
+
+    # Dependency-chained timing: each call consumes the previous output, so
+    # calls serialize on the device. Per-call block_until_ready on repeated
+    # identical calls under-reports ~20x here (pipelined async dispatch on
+    # the tunneled device resolves the ready-check early); the chain
+    # measures true execution cost.
+    @jax.jit
+    def chain(p):
+        out = lift_left_right_eval(stacked, p, 10.0, "right")
+        return jnp.tanh(out[:, :34]) * 0.1  # bounded (B, 34) pseudo-input
+
+    o = chain(poses)
+    jax.block_until_ready(o)  # compile + warmup
+    iters = 20
+    best = float("inf")
+    for _ in range(REPEATS):
+        o = chain(poses)
+        jax.block_until_ready(o)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = chain(o)
+        jax.block_until_ready(o)
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1e3, batch / best
+
+
 def _dp_sweep_row(n_devices: int, batch: int) -> float:
     """Stage-3a poses/sec on an n-device virtual CPU mesh (run in a fresh
     subprocess so the platform/device count can be pinned)."""
@@ -262,9 +307,22 @@ def main(argv=None):
     parser.add_argument("--dp-sweep", action="store_true",
                         help="stage-3a DP scaling on a 1/2/4/8-device "
                              "virtual CPU mesh (efficiency, not TPU numbers)")
+    parser.add_argument("--serve", action="store_true",
+                        help="inference serving latency/throughput of the "
+                             "left/right lifting forward (links-lift path) "
+                             "at batch 1/256/4096")
     args = parser.parse_args(argv)
 
     baseline = _baseline_poses_per_sec()
+
+    if args.serve:
+        for batch in (1, 256, 4096):
+            ms, pps = _measure_serving(batch)
+            print(json.dumps({
+                "metric": f"serve_left_right_batch{batch}_latency",
+                "value": round(ms, 3), "unit": "ms",
+                "poses_per_sec": round(pps, 1),
+            }))
 
     if args.dp_sweep:
         # virtual CPU devices share one physical host, so total compute is

@@ -166,6 +166,58 @@ def test_dp_epoch_fn_runs_sharded(rng):
     assert np.isfinite(float(losses["loss"]))
 
 
+def test_zero_sharded_optimizer_matches_replicated(rng):
+    """ZeRO path (params + Adam moments sharded over 'data', XLA placing
+    the all-gather/reduce-scatter) must trace the SAME trajectory as the
+    plain replicated single-device step: same loss_fn, same keys, equality
+    up to f32 reduction reassociation."""
+    cfg, stacked, frozen = _lr_setup()
+    optimizer = train.make_optimizer(cfg.optim, 2)
+
+    def loss_fn(params, batch, key):
+        return left_right_loss(params, frozen, batch, key, cfg)
+
+    # replicated reference trajectory (ordinary pytree step)
+    from links_tpu.train.steps import _make_step
+
+    ref_step = jax.jit(_make_step(loss_fn, optimizer))
+    ref_state = train.init_state(stacked, optimizer)
+
+    mesh = parallel.make_mesh()
+    z_state, unravel = parallel.init_zero_state(stacked, optimizer, mesh)
+    # the flat vector pads to the mesh size (exercises the inert lanes)
+    from jax.flatten_util import ravel_pytree
+
+    size = ravel_pytree(stacked)[0].size
+    assert z_state.flat_params.size % mesh.devices.size == 0
+    assert z_state.flat_params.size >= size
+
+    z_step = parallel.dp_zero_step(loss_fn, optimizer, mesh, stacked)
+    batch = _poses(rng, 32)
+    sh_batch = parallel.shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(11)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        ref_state, ref_aux = ref_step(ref_state, batch, sub)
+        z_state, z_aux = z_step(z_state, sh_batch, sub)
+        np.testing.assert_allclose(float(z_aux["loss"]),
+                                   float(ref_aux["loss"]), rtol=1e-4)
+    assert int(z_state.step) == 3
+    # padded lanes stay exactly zero (zero grad + decay on zero params)
+    flat = np.asarray(z_state.flat_params)
+    np.testing.assert_array_equal(flat[size:], 0.0)
+    z_params = unravel(jnp.asarray(flat[:size]))
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(z_params)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 1e-4, rel
+    # moments genuinely live sharded: each device holds 1/N of the vector
+    mu = z_state.opt_state[1].mu  # chain: (decay, scale_by_adam, lr)
+    shard0 = next(iter(mu.addressable_shards))
+    assert shard0.data.size == mu.size // mesh.devices.size
+
+
 def test_uneven_device_counts():
     # meshes smaller than the full device set
     mesh4 = parallel.make_mesh(4)
