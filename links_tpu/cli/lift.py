@@ -85,6 +85,11 @@ def main(argv=None):
     parser.add_argument("--out", required=True, help="output .npz path")
     parser.add_argument("--limit", type=int, default=None,
                         help="lift only the first N poses")
+    parser.add_argument("--fused", action="store_true",
+                        help="left_right mode: run both side lifters as one "
+                             "fused Pallas kernel (bf16 multiplies, chunked "
+                             "at <=512 poses; see PERF.md 'Inference "
+                             "serving')")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -134,8 +139,19 @@ def main(argv=None):
         fn = lambda p2d: _infill(completers, lifters, p2d)
     elif args.mode == "left_right":
         stacked = C.load_stacked_lr(args)
-        _lift = jax.jit(lift_left_right_eval, static_argnums=(2, 3))
-        fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice)
+        if args.fused:
+            # single fused Pallas kernel for both side lifters (bf16
+            # multiply policy; ops/fused_infer.py) — opt-in serving path
+            from links_tpu.ops import (lift_left_right_eval_fused,
+                                       prepare_fused_weights)
+
+            prep = prepare_fused_weights(stacked)
+            fn = lambda p2d: lift_left_right_eval_fused(
+                prep, p2d, args.depth, args.choice)
+            batch = min(batch, 512)  # the kernel's latency-regime cap
+        else:
+            _lift = jax.jit(lift_left_right_eval, static_argnums=(2, 3))
+            fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice)
     else:
         legs = C.load_params(args, _name(C.LIFTER_LEGS),
                              pt_loader=load_lifter_pt)
