@@ -164,12 +164,17 @@ def _test_norm_fn(name: str):
     }[name]
 
 
-def load_train_test(args):
+def _split_spec(args):
+    """(path, loader, train_subjects, test_subjects, test_norm, use_gt) —
+    the split/normalization decisions shared by load_train_test/load_test."""
     path = ensure_data(args)
     if args.dataset == "mpi":
         from links_tpu.data import MPI_SUBJECTS, load_mpi_inf_3dhp as loader
 
-        train_subjects = MPI_SUBJECTS
+        # Held-out split: train S1-S6 (the reference's own MPI dataset-class
+        # default, mpi_inf_3dhp_dataset_class.py:9), evaluate on S7/S8 —
+        # never the training subjects.
+        train_subjects = MPI_SUBJECTS[:-2]
         test_subjects = MPI_SUBJECTS[-2:]
         test_norm = _test_norm_fn(args.test_norm or "mpi_vnect")
     else:
@@ -188,10 +193,24 @@ def load_train_test(args):
         scale = (_train_head_scale(path, train_subjects, use_gt)
                  if args.test_scale == "auto" else float(args.test_scale))
         test_norm = functools.partial(normalize_head_test, scale=scale)
-    train = loader(path, train_subjects, normalize_func=normalize_head,
-                   use_gt=use_gt)
-    test = loader(path, test_subjects, normalize_func=test_norm, use_gt=use_gt)
+    return path, loader, train_subjects, test_subjects, test_norm, use_gt
+
+
+def load_train_test(args):
+    path, loader, train_s, test_s, test_norm, use_gt = _split_spec(args)
+    train = loader(path, train_s, normalize_func=normalize_head, use_gt=use_gt)
+    test = loader(path, test_s, normalize_func=test_norm, use_gt=use_gt)
     return train, test
+
+
+def load_test(args):
+    """Test split only. Serving/eval/viz CLIs have no use for the train
+    poses; this skips unpickling + device-normalizing them (on real H36M
+    that is ~1.5M rows of wasted startup latency and HBM). `--test-scale
+    auto` still derives its scale from the train subjects — that path reads
+    the pickle directly (_train_head_scale), not the device loader."""
+    path, loader, _, test_s, test_norm, use_gt = _split_spec(args)
+    return loader(path, test_s, normalize_func=test_norm, use_gt=use_gt)
 
 
 def _train_head_scale(path, train_subjects, use_gt: bool = True) -> float:

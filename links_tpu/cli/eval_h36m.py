@@ -46,7 +46,7 @@ def main(argv=None):
     def _name(base):
         return base + C.best_suffix(args, base)
 
-    _, test_data = C.load_train_test(args)
+    test_data = C.load_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
 
     from links_tpu.ckpt import load_lifter_pt

@@ -105,12 +105,14 @@ def main(argv=None):
     if args.raw_2d:
         poses_2d = _load_raw_2d(args.raw_2d)
     else:
-        _, test_data = C.load_train_test(args)
+        test_data = C.load_test(args)
         poses_2d = np.asarray(test_data.poses_2d)
     if args.limit:
         poses_2d = poses_2d[: args.limit]
     n = poses_2d.shape[0]
-    batch = min(args.batch_size or 256, max(n, 1))
+    if n == 0:
+        raise SystemExit("no poses to lift: the input is empty")
+    batch = min(args.batch_size or 256, n)
 
     if args.scenario:
         # occluded serving path: lifters that never see the dropped joints

@@ -40,7 +40,7 @@ def main(argv=None):
     def _name(base):
         return base + C.best_suffix(args, base)
 
-    _, test_data = C.load_train_test(args)
+    test_data = C.load_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
     default_ext = "gif" if args.what == "video" else "png"
     out = args.out or f"{args.what}_{args.frame}.{default_ext}"

@@ -11,8 +11,9 @@ isolated kernel loses at batch ≥ 4096). It is kept as working reference
 material for genuinely fusion-bound kernels, with interpret-mode tests
 (tests/test_pallas_ops.py).
 
-``experimental_res_block_apply`` is the dispatch wrapper the production
-``res_block_apply`` used to carry behind ``Policy(pallas=True)``.
+``experimental_res_block_apply`` (below) is the supported way to run a
+res-block param dict through the kernel; the production
+``res_block_apply`` carries no Pallas routing.
 """
 
 import jax

@@ -24,10 +24,12 @@ trick: only ``x`` is saved as a residual and the hidden activations are
     dW1  = xᵀ @ dh,  db1 = Σ dh
     dW2  = lrelu(a1)ᵀ @ (dy ⊙ lrelu'(a2)),  db2 = Σ (dy ⊙ lrelu'(a2))
 
-Use ``fused_res_block`` via ``models.lifters.res_block_apply`` with a
-``Policy(pallas=True)`` or call it directly. Falls back to interpret mode
-off-TPU (tests compare against the reference jnp implementation for both
-forward and gradients).
+Entry points: ``experimental_res_block_apply`` (links_tpu/experimental/
+__init__.py) runs a plain res-block param dict through the kernel, or call
+``fused_res_block`` directly. The production ``res_block_apply`` carries no
+Pallas routing (the round-2 demotion, PERF.md tombstone). Falls back to
+interpret mode off-TPU (tests compare against the reference jnp
+implementation for both forward and gradients).
 """
 
 from __future__ import annotations

@@ -25,12 +25,20 @@ TOKEN_DIM = 64
 
 def init_attention_lifter(key, num_joints: int, num_heads: int = 2):
     if TOKEN_DIM % num_heads:
-        raise ValueError("TOKEN_DIM must divide num_heads")
+        raise ValueError(
+            f"num_heads={num_heads} must divide TOKEN_DIM={TOKEN_DIM}")
     keys = jax.random.split(key, 12)
+    qkv = nn.init_linear(keys[2], TOKEN_DIM, 3 * TOKEN_DIM)
+    # num_heads is encoded in the qkv weight shape (D, 3, H, D/H) so apply
+    # (and any checkpoint round-trip) recovers it without a side channel.
+    qkv = {
+        "w": qkv["w"].reshape(TOKEN_DIM, 3, num_heads, TOKEN_DIM // num_heads),
+        "b": qkv["b"].reshape(3, num_heads, TOKEN_DIM // num_heads),
+    }
     return {
         "embed": nn.init_linear(keys[0], 2, TOKEN_DIM),
         "pos": jax.random.normal(keys[1], (num_joints, TOKEN_DIM)) * 0.02,
-        "qkv": nn.init_linear(keys[2], TOKEN_DIM, 3 * TOKEN_DIM),
+        "qkv": qkv,
         "proj": nn.init_linear(keys[3], TOKEN_DIM, TOKEN_DIM),
         "upscale": nn.init_linear(keys[4], num_joints * TOKEN_DIM, HIDDEN),
         "res_common": init_res_block(keys[5]),
@@ -43,15 +51,21 @@ def init_attention_lifter(key, num_joints: int, num_heads: int = 2):
     }
 
 
-def attention_lifter_apply(p, x, policy: nn.Policy = nn.F32, num_heads: int = 2):
-    """(B, 2J) → ((B, J) depth offsets, (B, 1) angle). ``num_heads`` is
-    static (not part of the param pytree, so optimizers never see it)."""
+def attention_lifter_apply(p, x, policy: nn.Policy = nn.F32):
+    """(B, 2J) → ((B, J) depth offsets, (B, 1) angle). The head count is
+    read from the qkv weight shape, so the dispatch in
+    ``models.lifter_apply`` needs no extra argument and a checkpoint
+    trained at any head count evaluates with the same partitioning."""
     b = x.shape[0]
-    nh = num_heads
+    nh = p["qkv"]["w"].shape[2]
     j = p["pos"].shape[0]
     tokens = x.reshape(b, 2, j).transpose(0, 2, 1)  # (B, J, 2)
     t = nn.dense(p["embed"], tokens, policy) + p["pos"]
-    qkv = nn.dense(p["qkv"], t, policy).reshape(b, j, 3, nh, TOKEN_DIM // nh)
+    qkv_flat = {
+        "w": p["qkv"]["w"].reshape(TOKEN_DIM, 3 * TOKEN_DIM),
+        "b": p["qkv"]["b"].reshape(3 * TOKEN_DIM),
+    }
+    qkv = nn.dense(qkv_flat, t, policy).reshape(b, j, 3, nh, TOKEN_DIM // nh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, J, H, Dh)
     att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(TOKEN_DIM // nh)
     att = jax.nn.softmax(att, axis=-1)

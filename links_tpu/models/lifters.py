@@ -62,14 +62,14 @@ def res_block_apply(p, x, policy: nn.Policy = nn.F32, *,
     if "ln1" in p:
         h = nn.layernorm(p["ln1"], h)
     h = nn.leaky_relu(h)
-    if dropout_rate:
+    if dropout_rate and not deterministic:
         key, sub = jax.random.split(key)
         h = nn.dropout(sub, h, dropout_rate, deterministic)
     h = nn.dense(p["l2"], h, policy)
     if "ln2" in p:
         h = nn.layernorm(p["ln2"], h)
     h = nn.leaky_relu(h)
-    if dropout_rate:
+    if dropout_rate and not deterministic:
         h = nn.dropout(key, h, dropout_rate, deterministic)
     return h + x
 

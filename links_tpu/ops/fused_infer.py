@@ -62,6 +62,12 @@ def prepare_fused_weights(stacked_params):
 
     Chain weights go bf16 (the multiply dtype of the bf16 policy); biases
     stay f32 (added post-accumulation, exactly like `nn.dense`)."""
+    if "qkv" in stacked_params:
+        raise ValueError(
+            "the fused serving kernel covers the MLP lifter layout only; "
+            "this checkpoint holds attention-lifter params (qkv leaf) — "
+            "serve it without --fused (lifter_apply dispatches on the "
+            "param structure)")
     ws, bs = [], []
     for blk in _CHAIN:
         ws.append(jnp.stack([stacked_params[blk]["l1"]["w"],

@@ -73,30 +73,20 @@ def dp_jit_step(step_fn: Callable, mesh: Mesh):
 def dp_epoch_fn(step_fn: Callable, batch_size: int, mesh: Mesh):
     """Epoch scan with the per-step batch sharded over 'data'.
 
-    The (nb, B, D) batch stack is sharded on axis 1 (the per-step batch
-    axis), the carried train state replicated. One device program per epoch.
+    Same epoch body as the single-device path (train/loop.py:build_epoch);
+    the (nb, B, D) batch stack is constrained to shard on axis 1 (the
+    per-step batch axis), the carried train state replicated. One device
+    program per epoch.
     """
+    from links_tpu.train.loop import build_epoch
 
-    def epoch(state, data, key):
-        n = data.shape[0]
-        nb = n // batch_size
-        k_perm, k_steps = jax.random.split(key)
-        idx = jax.random.permutation(k_perm, n)[: nb * batch_size]
-        batches = data[idx].reshape(nb, batch_size, data.shape[-1])
-        batches = jax.lax.with_sharding_constraint(
+    def shard_steps(batches):
+        return jax.lax.with_sharding_constraint(
             batches, NamedSharding(mesh, P(None, "data"))
         )
-        step_keys = jax.random.split(k_steps, nb)
-
-        def body(carry, xs):
-            batch, k = xs
-            return step_fn(carry, batch, k)
-
-        state, auxes = jax.lax.scan(body, state, (batches, step_keys))
-        return state, jax.tree.map(lambda x: x.mean(), auxes)
 
     return jax.jit(
-        epoch,
+        build_epoch(step_fn, batch_size, batch_constraint=shard_steps),
         in_shardings=(replicated(mesh), data_sharding(mesh), replicated(mesh)),
         out_shardings=(replicated(mesh), replicated(mesh)),
         donate_argnums=(0,),

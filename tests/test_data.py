@@ -123,3 +123,43 @@ def test_fit_part_pca(tmp_path):
     if pcas is not None:
         left, right = pcas
         assert left.components_.shape[1] == 22
+
+
+def test_mpi_split_is_held_out(tmp_path):
+    """--dataset mpi trains on S1-S6 and evaluates on S7/S8 — disjoint
+    subjects (the reference's own MPI dataset-class default subject list,
+    mpi_inf_3dhp_dataset_class.py:9). Regression for the round-2 review
+    finding where MPI eval subjects were inside the training set."""
+    from types import SimpleNamespace
+
+    from links_tpu.cli import _common as C
+
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=8)
+    args = SimpleNamespace(data=str(pkl), dataset="mpi", synthetic=False,
+                           test_norm=None, train_subjects=None,
+                           test_subjects=None, test_scale=None, gt_2d=True)
+    _, _, train_s, test_s, _, _ = C._split_spec(args)
+    assert not set(train_s) & set(test_s)
+    assert tuple(test_s) == ("S7", "S8")
+    assert tuple(train_s) == ("S1", "S2", "S3", "S4", "S5", "S6")
+
+
+def test_load_test_matches_train_test_second(tmp_path):
+    """load_test returns exactly the test split of load_train_test without
+    materializing the train split (serving/eval startup path)."""
+    from types import SimpleNamespace
+
+    from links_tpu.cli import _common as C
+
+    pkl = tmp_path / "synth.pkl"
+    data.write_synthetic_pickle(pkl, n_per_subject=8)
+    args = SimpleNamespace(data=str(pkl), dataset="h36m", synthetic=False,
+                           test_norm=None, train_subjects=None,
+                           test_subjects=None, test_scale=None, gt_2d=True)
+    _, test_a = C.load_train_test(args)
+    test_b = C.load_test(args)
+    np.testing.assert_array_equal(np.asarray(test_a.poses_2d),
+                                  np.asarray(test_b.poses_2d))
+    np.testing.assert_array_equal(np.asarray(test_a.poses_3d),
+                                  np.asarray(test_b.poses_3d))

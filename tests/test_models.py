@@ -73,9 +73,24 @@ def test_init_all_completers_distinct():
 def test_attention_lifter_shapes():
     p = models.init_attention_lifter(jax.random.PRNGKey(0), 11, num_heads=2)
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 22))
-    xd, xa = models.attention_lifter_apply(p, x, num_heads=2)
+    xd, xa = models.attention_lifter_apply(p, x)
     assert xd.shape == (4, 11)
     assert xa.shape == (4, 1)
+
+
+def test_attention_num_heads_shape_encoded():
+    """The head count is carried by the qkv param shape, so a 4-head
+    lifter actually runs 4-head attention (and differs from 2-head on the
+    same input distribution)."""
+    p4 = models.init_attention_lifter(jax.random.PRNGKey(0), 11, num_heads=4)
+    assert p4["qkv"]["w"].shape == (64, 3, 4, 16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 22))
+    xd, xa = models.attention_lifter_apply(p4, x)
+    assert xd.shape == (4, 11) and xa.shape == (4, 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        models.init_attention_lifter(jax.random.PRNGKey(0), 11, num_heads=5)
 
 
 def test_bf16_policy_close_to_f32():
