@@ -253,16 +253,24 @@ def dropout_eval_poses(completers, lifters, test_2d, depth: float = 10.0,
 def occlusion_loss(completers, pose_3d, key, policy: nn.Policy = nn.F32):
     """Full stage-4 loss: MSE over identity + two cumulative random
     y-rotations (train_occlusion_models.py:213-296). Returns (loss, aux)
-    with the reference's `threed_loss_*` keys."""
+    with the reference's `threed_loss_*` keys.
+
+    TPU note: the reference runs the 8 completers once per orientation (24
+    sequential forwards). The cumulative rotations are inherently
+    sequential, but the completer passes are not — the three orientation
+    batches concatenate into one (3B, 3, 17) batch and every completer runs
+    ONCE at 3x batch. Since the orientation groups are equal-sized,
+    3 * mean(concat) == sum of the three per-orientation means exactly, so
+    the loss (and gradients) match the sequential form."""
     k1, k2 = jax.random.split(key)
     n = pose_3d.shape[0]
-    total = completer_losses(completers, pose_3d, policy)
+    poses = [pose_3d]
     for k in (k1, k2):
         y_ang = (jax.random.uniform(k, (n, 1)) - 0.5) * 1.99 * PI
         ry = rotation_about_y(y_ang)
-        pose_3d = jnp.matmul(ry, pose_3d, precision="highest")
-        step = completer_losses(completers, pose_3d, policy)
-        total = {name: total[name] + step[name] for name in total}
+        poses.append(jnp.matmul(ry, poses[-1], precision="highest"))
+    per = completer_losses(completers, jnp.concatenate(poses, axis=0), policy)
+    total = {name: 3.0 * v for name, v in per.items()}
     aux = {f"threed_loss_{name}": v for name, v in total.items()}
     loss = sum(total.values())
     aux["loss"] = loss
