@@ -85,6 +85,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "epochs (always on the final epoch)")
     parser.add_argument("--f32", action="store_true",
                         help="disable bf16 matmuls (full f32)")
+    parser.add_argument("--clip-grad", type=float, default=None,
+                        help="clip the global gradient norm before Adam "
+                             "(robustness guard for the flow stages' "
+                             "self-sample NLL, which can explode on a "
+                             "single outlier batch; default off = the "
+                             "reference's unclipped recipe)")
     parser.add_argument("--log", default=None, help="JSONL metrics path")
     parser.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
     parser.add_argument("--save-pt", action="store_true",
@@ -473,6 +479,9 @@ def resolve_cfg(args, cfg):
         kw["batch_size"] = args.batch_size
     if args.f32:
         kw["bf16"] = False
+    if getattr(args, "clip_grad", None) is not None:
+        kw["optim"] = dataclasses.replace(cfg.optim,
+                                          clip_grad_norm=args.clip_grad)
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 

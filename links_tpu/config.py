@@ -15,6 +15,13 @@ class OptimConfig:
     learning_rate: float = 2e-4
     weight_decay: float = 1e-5
     lr_gamma: float = 0.95  # per-epoch exponential decay
+    # Global-norm gradient clip applied before Adam; 0 disables (the
+    # reference default — it never clips). The flow stages' self-sample NLL
+    # can explode on a single outlier batch (a drawn sample far off the
+    # data manifold produces a ~1e14 loss whose gradient permanently wrecks
+    # the flow); `--clip-grad 1.0` bounds that batch's update while leaving
+    # well-behaved steps untouched.
+    clip_grad_norm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -26,8 +26,15 @@ def make_optimizer(cfg: OptimConfig, steps_per_epoch: int) -> optax.GradientTran
         decay_rate=cfg.lr_gamma,
         staircase=True,
     )
-    return optax.chain(
+    steps = []
+    if cfg.clip_grad_norm:
+        # optional robustness guard (OptimConfig.clip_grad_norm docstring);
+        # clips the raw gradient BEFORE coupled weight decay, so the decay
+        # term matches torch semantics on the clipped gradient path
+        steps.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    steps += [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),
         optax.scale_by_learning_rate(schedule),
-    )
+    ]
+    return optax.chain(*steps)

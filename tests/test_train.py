@@ -168,3 +168,36 @@ def test_occlusion_step_trains(rng):
         if l0 is None:
             l0 = float(aux["loss"])
     assert float(aux["loss"]) < l0
+
+
+def test_clip_grad_norm_bounds_update():
+    """OptimConfig.clip_grad_norm caps the pre-Adam gradient at the given
+    global norm; with it off (the reference default) the raw gradient
+    passes through. Robustness guard for the flow stages' self-sample NLL
+    explosions (see OptimConfig docstring)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import optax
+
+    from links_tpu.config import OptimConfig
+
+    params = {"w": jnp.ones((4,))}
+    huge = {"w": jnp.full((4,), 1e8)}
+
+    def first_moment(opt):
+        state = opt.init(params)
+        _, state = opt.update(huge, state, params)
+        # scale_by_adam is the second element of the chain when clipping is
+        # off, third when on; find it by attribute
+        for s in jax.tree.leaves(state, is_leaf=lambda x: hasattr(x, "mu")):
+            if hasattr(s, "mu"):
+                return float(jnp.abs(s.mu["w"]).max())
+        raise AssertionError("no adam state found")
+
+    clipped = train.make_optimizer(
+        dataclasses.replace(OptimConfig(), clip_grad_norm=1.0), 1)
+    unclipped = train.make_optimizer(OptimConfig(), 1)
+    # clipped: global norm 1.0 -> per-coord 0.5; adam mu = (1-b1)*g
+    assert first_moment(clipped) < 0.1
+    assert first_moment(unclipped) > 1e6
