@@ -18,17 +18,36 @@ from pathlib import Path
 import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_LIB_PATH = _NATIVE_DIR / "liblinks_dataloader.so"
+
+
+def _machine_tag() -> str:
+    """CPU-feature fingerprint (same recipe as the jax compile-cache
+    scoping in __graft_entry__._machine_cache_dir): the library is built
+    -march=native, so a .so left behind by a different host must never be
+    loaded — it would SIGILL on first call."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            sig = next(line for line in f if line.startswith("flags"))
+    except Exception:
+        sig = platform.processor() or platform.machine()
+    tag = hashlib.sha256(sig.encode()).hexdigest()[:12]
+    return f"{platform.machine()}-{tag}"
+
+
+_LIB_PATH = _NATIVE_DIR / f"liblinks_dataloader-{_machine_tag()}.so"
 _lib = None
 
 
 def build_native(force: bool = False) -> bool:
-    """Compile the shared library if a toolchain is available."""
+    """Compile this machine's shared library if a toolchain is available."""
     if _LIB_PATH.exists() and not force:
         return True
     try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True)
+        subprocess.run(["make", "-C", str(_NATIVE_DIR), f"LIB={_LIB_PATH.name}"],
+                       check=True, capture_output=True)
         return _LIB_PATH.exists()
     except (OSError, subprocess.CalledProcessError):
         return False
@@ -117,6 +136,10 @@ class PackedDataset:
             self._perm = np.random.default_rng(seed).permutation(self.n_rows)
 
     def gather(self, start: int, count: int) -> np.ndarray:
+        if start < 0 or count < 0 or start + count > self.n_rows:
+            raise IndexError(
+                f"gather [{start}, {start + count}) out of range for "
+                f"{self.n_rows} rows")
         out = np.empty((count, self.n_cols), dtype=np.float32)
         if self._h is not None:
             rc = self._lib.links_gather(

@@ -95,9 +95,12 @@ void* links_open(const char* path) {
     return nullptr;
   }
   const Header* hdr = static_cast<const Header*>(base);
-  if (hdr->magic != kMagic || hdr->version != kVersion ||
-      sizeof(Header) + hdr->n_rows * hdr->n_cols * sizeof(float) >
-          static_cast<size_t>(st.st_size)) {
+  // Overflow-safe size validation: n_rows * n_cols * 4 can wrap uint64 on a
+  // corrupt header, so bound by division instead of multiplying.
+  const uint64_t avail_floats =
+      (static_cast<uint64_t>(st.st_size) - sizeof(Header)) / sizeof(float);
+  if (hdr->magic != kMagic || hdr->version != kVersion || hdr->n_cols == 0 ||
+      hdr->n_rows > avail_floats / hdr->n_cols) {
     munmap(base, st.st_size);
     ::close(fd);
     return nullptr;
@@ -119,6 +122,11 @@ uint64_t links_cols(void* handle) { return static_cast<Handle*>(handle)->n_cols;
 void links_shuffle(void* handle, uint64_t seed) {
   auto* h = static_cast<Handle*>(handle);
   std::lock_guard<std::mutex> lock(h->mu);
+  // Reset to identity first so the permutation is a pure function of
+  // `seed` (a resumed run replays the same epoch order as a straight run,
+  // and the numpy fallback's default_rng(seed).permutation matches in
+  // being history-free, though not in the draw itself).
+  for (uint64_t i = 0; i < h->n_rows; ++i) h->perm[i] = i;
   std::mt19937_64 rng(seed);
   for (uint64_t i = h->n_rows; i > 1; --i) {
     uint64_t j = rng() % i;
@@ -131,7 +139,12 @@ void links_shuffle(void* handle, uint64_t seed) {
 int links_gather(void* handle, uint64_t start, uint64_t count, float* out,
                  int n_threads) {
   auto* h = static_cast<Handle*>(handle);
-  if (start + count > h->n_rows) return -1;
+  // overflow-safe bounds check (start + count can wrap uint64)
+  if (count > h->n_rows || start > h->n_rows - count) return -1;
+  // Serialize against links_shuffle: perm reads must not race the locked
+  // swap writes (a caller prefetching the next epoch's shuffle while this
+  // batch gathers would otherwise see torn permutation state).
+  std::lock_guard<std::mutex> lock(h->mu);
   if (n_threads < 1) n_threads = 1;
   const uint64_t cols = h->n_cols;
   auto work = [&](uint64_t lo, uint64_t hi) {

@@ -13,9 +13,31 @@ def packed(tmp_path_factory):
     return path, data
 
 
+import shutil
+
+
+@pytest.mark.skipif(shutil.which("g++") is None or shutil.which("make") is None,
+                    reason="no C++ toolchain; PackedDataset falls back to numpy")
 def test_native_builds():
     assert nl.build_native(), "g++ toolchain present but native build failed"
     assert nl.native_available()
+
+
+def test_shuffle_is_pure_function_of_seed(packed):
+    """shuffle(seed) must not depend on shuffle history: a resumed run
+    (fresh handle) replays the same epoch order as a straight run
+    (review finding: the native Fisher-Yates composed onto the previous
+    permutation instead of resetting to identity)."""
+    path, _ = packed
+    straight = nl.PackedDataset(path)
+    straight.shuffle(1)
+    straight.shuffle(2)  # epoch 0 then epoch 1 in one process
+    want = straight.gather(0, 100)
+    resumed = nl.PackedDataset(path)
+    resumed.shuffle(2)  # fresh process resuming at epoch 1
+    np.testing.assert_array_equal(resumed.gather(0, 100), want)
+    straight.close()
+    resumed.close()
 
 
 def test_pack_and_open(packed):

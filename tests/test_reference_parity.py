@@ -435,7 +435,7 @@ class TestModelForwards:
     def test_lifter_forward(self, ref, rng, cls_name, nj):
         params = models.init_lifter(jax.random.PRNGKey(nj), nj)
         cls = getattr(ref.models_def, cls_name)
-        tmod = cls(num_joints=nj) if cls_name != "DepthAngleEstimator" else cls(num_joints=nj)
+        tmod = cls(num_joints=nj)
         sd = {k: _t(v) for k, v in ckpt.lifter_to_torch(params).items()}
         missing, unexpected = tmod.load_state_dict(sd, strict=False)
         assert not unexpected, unexpected

@@ -19,21 +19,27 @@ import matplotlib.pyplot as plt
 
 
 def load(path: Path):
-    rows = []
+    """Epoch records, deduplicated (last record per epoch wins — the
+    control runner appends on re-runs, like the trainers' JSONL logs)."""
+    by_epoch = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
             if line:
                 r = json.loads(line)
                 if "epoch" in r:
-                    rows.append(r)
-    return rows
+                    by_epoch[r["epoch"]] = r
+    return [by_epoch[e] for e in sorted(by_epoch)]
 
 
 def pa_mean(r):
+    """Validation PA of a record, or None for train-only epochs (sparse
+    validation under --validate-every N)."""
     if "pa_mean" in r:
         return r["pa_mean"]
-    return (r["pa_left"] + r["pa_right"]) / 2.0
+    if "pa_left" in r and "pa_right" in r:
+        return (r["pa_left"] + r["pa_right"]) / 2.0
+    return None
 
 
 def main(argv=None):
@@ -55,9 +61,12 @@ def main(argv=None):
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
     for rows, label, color in series:
-        ep = [r["epoch"] for r in rows]
-        ax1.plot(ep, [pa_mean(r) for r in rows], label=label, color=color)
-        ax2.plot(ep, [r["loss"] for r in rows], label=label, color=color)
+        val = [r for r in rows if pa_mean(r) is not None]
+        ax1.plot([r["epoch"] for r in val], [pa_mean(r) for r in val],
+                 label=label, color=color)
+        tr = [r for r in rows if "loss" in r]
+        ax2.plot([r["epoch"] for r in tr], [r["loss"] for r in tr],
+                 label=label, color=color)
     ax1.set_xlabel("epoch")
     ax1.set_ylabel("validation PA-MPJPE (mm)")
     ax1.set_title("Validation PA-MPJPE")
@@ -73,13 +82,15 @@ def main(argv=None):
 
     # console summary for RESULTS.md
     for rows, name, _ in series:
-        if not rows:
+        val = [r for r in rows if pa_mean(r) is not None]
+        tr = [r for r in rows if "loss" in r]
+        if not val or not tr:
             continue
-        best = min(rows, key=pa_mean)
-        last = rows[-1]
+        best = min(val, key=pa_mean)
+        last = val[-1]
         print(f"{name}: best PA {pa_mean(best):.1f} @ ep{int(best['epoch'])}, "
               f"final PA {pa_mean(last):.1f} @ ep{int(last['epoch'])}, "
-              f"loss {rows[0]['loss']:.1f} -> {last['loss']:.1f}")
+              f"loss {tr[0]['loss']:.1f} -> {tr[-1]['loss']:.1f}")
 
 
 if __name__ == "__main__":
