@@ -57,25 +57,9 @@ def _measure_tpu(batch: int = BATCH, bf16: bool = True) -> float:
     )
     optimizer = train.make_optimizer(cfg.optim, steps_per_epoch=SCAN_STEPS)
     step = train.build_left_right_step(frozen, optimizer, cfg)
-    state = train.init_state(stacked, optimizer)
-
-    data = jax.random.normal(keys[5], (batch * SCAN_STEPS, 34), jnp.float32) * 0.1
-    data = data.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
-    epoch_fn = train.make_epoch_fn(step, batch_size=batch)
-
-    key = jax.random.PRNGKey(1)
-    # compile + warmup
-    state, losses = epoch_fn(state, data, key)
-    jax.block_until_ready(losses["loss"])
-    best = 0.0
-    for i in range(REPEATS):
-        key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
-        state, losses = epoch_fn(state, data, sub)
-        jax.block_until_ready(losses["loss"])
-        dt = time.perf_counter() - t0
-        best = max(best, batch * SCAN_STEPS / dt)
-    return best
+    # one timing harness for every stage (flagship included) so the
+    # warmup/repeat/counting methodology cannot drift between rows
+    return _bench_epochs(step, stacked, optimizer, batch)
 
 
 def _bench_epochs(step, params, optimizer, batch: int, dim: int = 34) -> float:
@@ -253,6 +237,7 @@ def _dp_sweep_row(n_devices: int, batch: int) -> float:
         "dp_step = parallel.dp_jit_step(step, mesh)\n"
         "state = parallel.replicate(state, mesh)\n"
         "data = jax.random.normal(keys[5], (batch, 34), jnp.float32) * 0.1\n"
+        "data = data.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)\n"
         "batch_s = parallel.shard_batch(data, mesh)\n"
         "key = jax.random.PRNGKey(1)\n"
         "state, aux = dp_step(state, batch_s, key)\n"

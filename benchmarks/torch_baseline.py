@@ -242,9 +242,13 @@ class BaselineStep:
         return float(loss.detach())
 
 
-def measure_poses_per_sec(batch_size=256, steps=6, warmup=2, seed=0):
+def measure_poses_per_sec(batch_size=256, steps=6, warmup=2, seed=0,
+                          repeats=3):
     """Steady-state poses/sec of the torch-CPU baseline step (poses counted
-    as loader batch rows, matching the TPU measurement)."""
+    as loader batch rows, matching the TPU measurement). Best of
+    ``repeats`` timed windows — the same policy as the TPU side's
+    best-of-REPEATS (bench.py), so a transient stall in one window cannot
+    bias the vs_baseline ratio either way."""
     import time
 
     rng = np.random.default_rng(seed)
@@ -254,8 +258,11 @@ def measure_poses_per_sec(batch_size=256, steps=6, warmup=2, seed=0):
     batch = torch.tensor(poses.reshape(batch_size, 34))
     for _ in range(warmup):
         step(batch)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        step(batch)
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            step(batch)
+        dt = time.perf_counter() - t0
+        best = max(best, batch_size * steps / dt)
+    return best
