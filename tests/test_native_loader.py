@@ -122,3 +122,24 @@ def test_stage1_cli_packed_data_path(tmp_path):
         "--packed-data", str(tmp_path / "train2d.lnks"),
     ])
     assert int(state2.step) > int(state.step)
+
+
+def test_pack_cli_roundtrip(tmp_path, capsys):
+    """links-pack packs the train split explicitly and --inspect reads the
+    header back (the streaming path's offline conversion tool)."""
+    import json
+
+    from links_tpu.cli.pack_data import main
+    from links_tpu.data import synthetic
+
+    pkl = tmp_path / "synth.pkl"
+    synthetic.write_synthetic_pickle(pkl, n_per_subject=16)
+    out = tmp_path / "train2d.lnks"
+    main(["--data", str(pkl), "--out", str(out)])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_rows"] == 16 * 5 and rec["n_cols"] == 34
+
+    main(["--inspect", str(out)])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["n_rows"] == 80 and rec["n_cols"] == 34
+    assert rec["head_std"] > 0
