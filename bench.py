@@ -35,7 +35,10 @@ REPEATS = 3
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 
 
-def _measure_tpu(batch: int = BATCH, bf16: bool = True) -> float:
+def _measure_tpu(batch: int = BATCH, bf16: bool = True,
+                 bf16_opt_state: bool = False) -> float:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +47,9 @@ def _measure_tpu(batch: int = BATCH, bf16: bool = True) -> float:
     from links_tpu.objectives import LifterFrozen
 
     cfg = LifterTrainConfig(batch_size=batch, bf16=bf16)
+    if bf16_opt_state:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, bf16_moments=True))
     keys = jax.random.split(jax.random.PRNGKey(0), 6)
     stacked = jax.tree.map(
         lambda a, b: jnp.stack([a, b]),
@@ -334,6 +340,14 @@ def main(argv=None):
                 "metric": f"{name}_train_poses_per_sec_per_chip",
                 "value": round(value, 1), "unit": "poses/s",
             }))
+        # the opt-in bf16-Adam-moments knob (--bf16-opt-state): not the
+        # parity recipe, shown as its own row, never the headline
+        value = _measure_tpu(bf16_opt_state=True)
+        print(json.dumps({
+            "metric": "stage3a_train_poses_per_sec_per_chip_bf16_opt_state",
+            "value": round(value, 1), "unit": "poses/s",
+            "vs_baseline": round(value / baseline, 2),
+        }))
 
     # f32 row alongside the flagship bf16 number (VERDICT r1 weak #6:
     # bf16≈f32 on this workload, which strengthens the headline — show it)

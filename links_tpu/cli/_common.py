@@ -91,6 +91,12 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "self-sample NLL, which can explode on a "
                              "single outlier batch; default off = the "
                              "reference's unclipped recipe)")
+    parser.add_argument("--bf16-opt-state", action="store_true",
+                        help="store Adam moments in bfloat16 at rest — "
+                             "halves the optimizer-state HBM traffic that "
+                             "bounds the train step (PERF.md); ~0.4% noise "
+                             "on per-coordinate step sizes. Default off = "
+                             "the reference's f32 Adam")
     parser.add_argument("--log", default=None, help="JSONL metrics path")
     parser.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
     parser.add_argument("--save-pt", action="store_true",
@@ -479,9 +485,13 @@ def resolve_cfg(args, cfg):
         kw["batch_size"] = args.batch_size
     if args.f32:
         kw["bf16"] = False
+    opt_kw = {}
     if getattr(args, "clip_grad", None) is not None:
-        kw["optim"] = dataclasses.replace(cfg.optim,
-                                          clip_grad_norm=args.clip_grad)
+        opt_kw["clip_grad_norm"] = args.clip_grad
+    if getattr(args, "bf16_opt_state", False):
+        opt_kw["bf16_moments"] = True
+    if opt_kw:
+        kw["optim"] = dataclasses.replace(cfg.optim, **opt_kw)
     return dataclasses.replace(cfg, **kw) if kw else cfg
 
 

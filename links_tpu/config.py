@@ -22,6 +22,11 @@ class OptimConfig:
     # the flow); `--clip-grad 1.0` bounds that batch's update while leaving
     # well-behaved steps untouched.
     clip_grad_norm: float = 0.0
+    # Store Adam moments in bfloat16 at rest (train/optim.py:bf16_moments):
+    # halves the optimizer-state HBM traffic that bounds the flagship step
+    # (PERF.md ablation) at ~0.4% noise on the per-coordinate step size.
+    # Off by default — the reference's f32 Adam is the parity recipe.
+    bf16_moments: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

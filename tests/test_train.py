@@ -201,3 +201,46 @@ def test_clip_grad_norm_bounds_update():
     # clipped: global norm 1.0 -> per-coord 0.5; adam mu = (1-b1)*g
     assert first_moment(clipped) < 0.1
     assert first_moment(unclipped) > 1e6
+
+
+def test_bf16_moments_storage_and_trajectory():
+    """bf16_moments stores mu/nu in bfloat16 at rest while keeping the
+    update trajectory close to f32 Adam (the opt-in HBM-traffic knob,
+    train/optim.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import optax
+
+    from links_tpu.config import OptimConfig
+
+    params = {"w": jnp.linspace(-1, 1, 64)}
+    opt16 = train.make_optimizer(
+        dataclasses.replace(OptimConfig(), bf16_moments=True), 4)
+    opt32 = train.make_optimizer(OptimConfig(), 4)
+
+    def moments_dtype(state):
+        for s in jax.tree.leaves(state, is_leaf=lambda x: hasattr(x, "mu")):
+            if hasattr(s, "mu"):
+                return s.mu["w"].dtype
+        raise AssertionError("no adam state")
+
+    s16, s32 = opt16.init(params), opt32.init(params)
+    assert moments_dtype(s16) == jnp.bfloat16
+    assert moments_dtype(s32) == jnp.float32
+
+    p16 = p32 = params
+    key = jax.random.PRNGKey(0)
+    for i in range(20):
+        key, k = jax.random.split(key)
+        g16 = {"w": jax.random.normal(k, (64,)) * 0.1 + p16["w"] * 0.01}
+        g32 = {"w": g16["w"]}
+        u16, s16 = opt16.update(g16, s16, p16)
+        u32, s32 = opt32.update(g32, s32, p32)
+        p16 = optax.apply_updates(p16, u16)
+        p32 = optax.apply_updates(p32, u32)
+        assert moments_dtype(s16) == jnp.bfloat16
+    drift = float(jnp.abs(p16["w"] - p32["w"]).max())
+    moved = float(jnp.abs(p32["w"] - params["w"]).max())
+    assert moved > 1e-4  # the test actually optimized something
+    assert drift < 0.05 * moved, (drift, moved)
