@@ -81,7 +81,7 @@ class CouplingBlock(nn.Module):
     def forward(self, x):
         x1, x2 = x[:, : self.len1], x[:, self.len1:]
         a = self.net(x1) * 0.1
-        s = 2.0 * (2.0 / math.pi) * torch.atan(a[:, : self.len2])
+        s = 2.0 * 0.636 * torch.atan(a[:, : self.len2])  # FrEIA's literal 0.636
         y2 = x2 * torch.exp(s) + a[:, self.len2:]
         gs = 0.1 * (2.0 * torch.log1p(torch.exp(0.5 * self.gs)))
         y = torch.cat([x1, y2], 1) * gs + self.gb
@@ -92,7 +92,7 @@ class CouplingBlock(nn.Module):
         y = (z @ self.w - self.gb) / gs
         x1, y2 = y[:, : self.len1], y[:, self.len1:]
         a = self.net(x1) * 0.1
-        s = 2.0 * (2.0 / math.pi) * torch.atan(a[:, : self.len2])
+        s = 2.0 * 0.636 * torch.atan(a[:, : self.len2])  # FrEIA's literal 0.636
         x2 = (y2 - a[:, self.len2:]) * torch.exp(-s)
         return torch.cat([x1, x2], 1)
 

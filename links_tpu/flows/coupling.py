@@ -9,7 +9,7 @@ permutation"), applied in this order on the forward pass:
 
     x1, x2 = split(x)                      # [D - D//2, D//2]
     a      = subnet(x1) * 0.1              # subnet: Linear(1024) ReLU Linear
-    s      = clamp * (2/pi) * atan(a[:, :len2])
+    s      = clamp * 0.636 * atan(a[:, :len2])
     y2     = x2 * exp(s) + a[:, len2:]
     y      = concat(x1, y2) * gs + gb      # global affine
     z      = y @ W.T                       # fixed orthogonal W, |det| = 1
@@ -37,7 +37,11 @@ import jax.numpy as jnp
 from links_tpu.core import nn
 
 CLAMP = 2.0
-_TWO_OVER_PI = 2.0 / math.pi
+# FrEIA's ATAN clamp activation is the LITERAL 0.636 (all_in_one_block.py:
+# `self.f_clamp = lambda u: 0.636 * torch.atan(u)`), not 2/pi ~ 0.63662 -
+# the ~1e-3 difference compounds over 8 blocks and would break .pt
+# weight interchange with genuinely-FrEIA-trained reference flows.
+_ATAN_CLAMP = 0.636
 # g0 such that 0.1 * softplus_{beta=0.5}(g0) == 1.0 (FrEIA global_affine_init=1).
 GLOBAL_SCALE_INIT = 2.0 * math.log(math.exp(5.0) - 1.0)
 
@@ -127,7 +131,7 @@ def block_forward(params, w, x, policy: nn.Policy = nn.F32):
     len1, len2 = _split_lens(dim)
     x1, x2 = x[:, :len1], x[:, len1:]
     a = _subnet(params["subnet"], x1, policy) * 0.1
-    s = CLAMP * _TWO_OVER_PI * jnp.arctan(a[:, :len2])
+    s = CLAMP * _ATAN_CLAMP * jnp.arctan(a[:, :len2])
     t = a[:, len2:]
     y2 = x2 * jnp.exp(s) + t
     j = s.sum(-1)
@@ -146,7 +150,7 @@ def block_inverse(params, w, z, policy: nn.Policy = nn.F32):
     y = (y - params["global_offset"]) / gs
     x1, y2 = y[:, :len1], y[:, len1:]
     a = _subnet(params["subnet"], x1, policy) * 0.1
-    s = CLAMP * _TWO_OVER_PI * jnp.arctan(a[:, :len2])
+    s = CLAMP * _ATAN_CLAMP * jnp.arctan(a[:, :len2])
     t = a[:, len2:]
     x2 = (y2 - t) * jnp.exp(-s)
     x = jnp.concatenate([x1, x2], axis=-1)

@@ -63,7 +63,9 @@ def auc(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
     dist = jnp.linalg.norm(p - p_ref, axis=1)
     ts = jnp.linspace(0.0, 150.0, 150)
     below = dist[None] < ts[:, None, None]
-    return below.sum() / (dist.shape[0] * dist.shape[1] * 150)
+    # float accumulation: a bool sum defaults to int32, which wraps once
+    # 150·17·B exceeds 2^31 (B ≈ 842k — a concatenated multi-dataset sweep)
+    return below.sum(dtype=jnp.float32) / (dist.shape[0] * dist.shape[1] * 150)
 
 
 def get_all(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
@@ -74,7 +76,7 @@ def get_all(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
     out = {"MPJPE": dist.mean()}
     out["PCK"] = (dist < 150.0).sum() / (dist.shape[0] * num_joints) * 100.0
     ts = jnp.linspace(0.0, 150.0, 31)
-    out["AUC"] = (dist[None] < ts[:, None, None]).sum() / (
+    out["AUC"] = (dist[None] < ts[:, None, None]).sum(dtype=jnp.float32) / (
         dist.shape[0] * dist.shape[1] * 31
     ) * 100.0
     ds = jnp.linspace(0.0, 300.0, 301)
@@ -174,7 +176,15 @@ def procrustes_batch(poses_inp, template_poses, use_reflection=False, use_scalin
 
 def pmpjpe_batch(p_ref, p, use_reflection=False, num_joints=17):
     """Batched PMPJPE via the torch-variant Procrustes
-    (utils/metrics_batch.py:104-114). Returns (B,)."""
+    (utils/metrics_batch.py:104-114). Returns (B,).
+
+    Deliberate fix (same policy as the likeli_left/right rename, SURVEY.md
+    §7.3): the reference's ``pmpjpe`` accepts ``use_reflection`` but drops
+    it — ``self.procrustes(p, p_ref)`` at :109 always runs with the
+    det-sign correction, so reference ``pmpjpe(use_reflection=True)``
+    still disallows reflection. Here the flag is forwarded and does what
+    its name says; the default (False) matches the reference bit-for-bit
+    and is the only configuration any reference call site uses."""
     p = p.reshape(-1, 3, num_joints)
     p_ref = p_ref.reshape(-1, 3, num_joints)
     aligned = _map_chunks(

@@ -118,6 +118,13 @@ def occlusion_validation_poses(completers, lifters, test_2d, depth: float = 10.0
     Returns {scenario: (B, 51) camera-frame poses} for the 8 scenarios
     keyed la/ra/ll/rl/torso/legs/left/right (or the requested
     ``scenarios`` subset — only those completers run).
+
+    All four lifter forwards and all 8 input tensors are traced regardless
+    of ``scenarios``; only the returned dict is filtered. That is fine for
+    every caller in this codebase — cli/eval_h36m.py and cli/lift.py wrap
+    this under ``jax.jit``, where XLA dead-code-eliminates the lifts whose
+    outputs are unused — but an eager single-scenario caller would pay for
+    all four lifters; jit this function if you call it that way.
     """
     from links_tpu.core.skeleton import (
         combine_left_right_occluded_3d,

@@ -10,7 +10,8 @@ tests/test_ckpt.py::test_pt_roundtrip_detects_transposed_w_perm.
 
 What must hold (FrEIA/modules/all_in_one_block.py):
 * split lens [D - D//2, D//2] (``self.splits``), subnet D-D//2 → 2·(D//2);
-* ``_affine``: a = 0.1·subnet(x1); s = clamp·(2/π)·atan(a[:, :len2]);
+* ``_affine``: a = 0.1·subnet(x1); s = clamp·0.636·atan(a[:, :len2])
+  (FrEIA's literal 0.636, not 2/π);
   y2 = x2·exp(s) + a[:, len2:];
 * ``_permute`` (forward): z = (cat(x1,y2)·gs + gb) @ w_perm.T via
   ``F.linear``; gs = 0.1·softplus_{β=0.5}(global_scale);

@@ -324,16 +324,40 @@ class TestMetricsBatch:
         for k in ("MPJPE", "PCK", "AUC", "CPS"):
             close(got[k], float(want[k]), atol=1e-2, rtol=1e-4)
 
-    @pytest.mark.parametrize("use_reflection", [False, True])
-    def test_pmpjpe_batch(self, ref, pair, use_reflection):
+    def test_pmpjpe_batch(self, ref, pair):
         gt, pred = pair
         mb = ref.metrics_batch.Metrics()
-        want = mb.pmpjpe(_t(gt), _t(pred), use_reflection=use_reflection,
+        want = mb.pmpjpe(_t(gt), _t(pred), use_reflection=False,
                          num_joints=17)
         got = metrics.pmpjpe_batch(jnp.asarray(gt), jnp.asarray(pred),
-                                   use_reflection=use_reflection)
+                                   use_reflection=False)
         close(got.mean(), float(want.mean() if hasattr(want, "mean") else want),
               atol=1e-3)
+
+    def test_pmpjpe_reflection_flag_is_a_deliberate_fix(self, ref, pair):
+        """The reference's pmpjpe accepts use_reflection but drops it
+        (metrics_batch.py:109 calls self.procrustes without forwarding);
+        links_tpu honors the flag. Exercise the divergence on a mirrored
+        prediction: the reference returns the same (large) error for both
+        flag values, while ours with use_reflection=True aligns through the
+        mirror and returns ~0."""
+        gt, _ = pair
+        mirrored = gt.reshape(-1, 3, 17).copy()
+        mirrored[:, 0, :] *= -1.0  # reflect x
+        mirrored = mirrored.reshape(gt.shape)
+        mb = ref.metrics_batch.Metrics()
+        ref_true = mb.pmpjpe(_t(gt), _t(mirrored), use_reflection=True,
+                             num_joints=17)
+        ref_false = mb.pmpjpe(_t(gt), _t(mirrored), use_reflection=False,
+                              num_joints=17)
+        close(float(ref_true.mean()), float(ref_false.mean()), rtol=1e-6)
+
+        ours_false = metrics.pmpjpe_batch(jnp.asarray(gt), jnp.asarray(mirrored),
+                                          use_reflection=False)
+        close(ours_false.mean(), float(ref_false.mean()), atol=1e-3)
+        ours_true = metrics.pmpjpe_batch(jnp.asarray(gt), jnp.asarray(mirrored),
+                                         use_reflection=True)
+        assert float(ours_true.mean()) < 0.01 * float(ours_false.mean())
 
 
 # ---------------------------------------------------------------- L1 datasets
