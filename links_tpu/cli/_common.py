@@ -225,6 +225,13 @@ def load_test(args):
     return loader(path, test_s, normalize_func=test_norm, use_gt=use_gt)
 
 
+def load_train(args):
+    """Train split only — the mirror of load_test for tools (links-pack)
+    that never evaluate."""
+    path, loader, train_s, _, _, use_gt = _split_spec(args)
+    return loader(path, train_s, normalize_func=normalize_head, use_gt=use_gt)
+
+
 def _train_head_scale(path, train_subjects, use_gt: bool = True) -> float:
     """Mean root→head 2D distance over the train subjects — the quantity
     behind the reference's hard-coded test scales (helpers.py:222 comment:
@@ -312,9 +319,10 @@ def load_stacked_lr(args):
     Routes, in priority order (closing VERDICT r1 missing #4 — the reference
     ships *separate* models/{left,right}_lifter.pt, eval_h36m.py:33-34):
       1. explicit ``--left-pt``/``--right-pt`` reference checkpoints;
-      2. ``{left,right}_lifter.pt`` pair sitting in --model-dir, when the
-         stacked orbax artifact is absent;
-      3. the stacked orbax artifact (LIFTER_LR).
+      2. the stacked orbax artifact (LIFTER_LR, best-suffixed) — the
+         framework's own training output always wins over loose files;
+      3. a ``{left,right}_lifter.pt`` pair sitting in --model-dir, as the
+         reference-layout fallback when no orbax artifact exists.
     """
     left_pt = getattr(args, "left_pt", None)
     right_pt = getattr(args, "right_pt", None)
@@ -338,6 +346,22 @@ def load_stacked_lr(args):
     left = ckpt.load_lifter_pt(left_pt)
     right = ckpt.load_lifter_pt(right_pt)
     return jax.tree.map(lambda a, b: jnp.stack([a, b]), left, right)
+
+
+def load_all_lifters(args):
+    """All four frozen lifters as the {'left','right','legs','torso'} dict
+    the occlusion paths consume (train_occlusion_models.py:525-545 loads the
+    same four). One routing point for eval/lift/visualise/stage-4 instead of
+    four copies; honors best-suffix and reference-.pt fallbacks throughout."""
+    stacked = load_stacked_lr(args)
+    return {
+        "left": jax.tree.map(lambda a: a[0], stacked),
+        "right": jax.tree.map(lambda a: a[1], stacked),
+        "legs": load_params(args, LIFTER_LEGS + best_suffix(args, LIFTER_LEGS),
+                            pt_loader=ckpt.load_lifter_pt),
+        "torso": load_params(args, LIFTER_TORSO + best_suffix(args, LIFTER_TORSO),
+                             pt_loader=ckpt.load_lifter_pt),
+    }
 
 
 class BestTracker:
@@ -520,9 +544,17 @@ def maybe_init_distributed(args):
         return
     import jax as _jax
 
-    if _jax.process_count() > 1:
-        return  # already initialized (run_pipeline runs stages in-process)
-    _jax.distributed.initialize()
+    # Do NOT probe jax.process_count() first: it initializes the local XLA
+    # backend, after which jax.distributed.initialize() refuses to run.
+    # Call initialize() directly and treat "already initialized" as the
+    # idempotent no-op (run_pipeline runs stages in-process).
+    try:
+        _jax.distributed.initialize()
+    except RuntimeError as e:
+        msg = str(e).lower()
+        if "once" in msg or "already" in msg:
+            return
+        raise
 
 
 def mesh_and_shard(args, *arrays):

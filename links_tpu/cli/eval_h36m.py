@@ -91,16 +91,7 @@ def main(argv=None):
     if args.occlusion or args.dropout:
         from links_tpu.objectives import occlusion as occ
 
-        if args.mode != "left_right":  # otherwise already loaded above
-            stacked = C.load_stacked_lr(args)
-        lifters = {
-            "left": jax.tree.map(lambda a: a[0], stacked),
-            "right": jax.tree.map(lambda a: a[1], stacked),
-            "legs": C.load_params(args, _name(C.LIFTER_LEGS),
-                                  pt_loader=load_lifter_pt),
-            "torso": C.load_params(args, _name(C.LIFTER_TORSO),
-                                   pt_loader=load_lifter_pt),
-        }
+        lifters = C.load_all_lifters(args)
         completers = C.load_params(args, _name(C.OCCLUSION))
 
     if args.dropout:

@@ -114,18 +114,15 @@ def main(argv=None):
         raise SystemExit("no poses to lift: the input is empty")
     batch = min(args.batch_size or 256, n)
 
+    if args.fused and (args.scenario or args.mode != "left_right"):
+        raise SystemExit(
+            "--fused covers the plain left_right forward only; it cannot "
+            "serve --scenario infill or --mode leg_torso")
+
     if args.scenario:
         # occluded serving path: lifters that never see the dropped joints
         # + completer infill (dropout_eval_poses semantics, single scenario)
-        stacked = C.load_stacked_lr(args)
-        lifters = {
-            "left": jax.tree.map(lambda a: a[0], stacked),
-            "right": jax.tree.map(lambda a: a[1], stacked),
-            "legs": C.load_params(args, _name(C.LIFTER_LEGS),
-                                  pt_loader=load_lifter_pt),
-            "torso": C.load_params(args, _name(C.LIFTER_TORSO),
-                                   pt_loader=load_lifter_pt),
-        }
+        lifters = C.load_all_lifters(args)
         completers = C.load_params(args, _name(C.OCCLUSION))
         joints = occ.DROPOUT_SCENARIO_JOINTS[args.scenario]
 

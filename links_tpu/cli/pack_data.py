@@ -52,7 +52,7 @@ def main(argv=None):
 
     if not args.out:
         raise SystemExit("--out is required to pack (or use --inspect)")
-    train_data, _ = C.load_train_test(args)
+    train_data = C.load_train(args)
     arr = np.asarray(getattr(train_data, args.what))
     native_loader.pack_dataset(args.out, arr)
     print(json.dumps({

@@ -9,8 +9,10 @@ Usage:
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 
 from links_tpu import flows
 from links_tpu.cli import _common as C
@@ -38,7 +40,20 @@ def main(argv=None):
     C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(args, FlowTrainConfig(num_keypoints=args.num_keypoints))
-    train_data, _ = C.load_train_test(args)
+    packed_path = Path(args.packed_data) if args.packed_data else None
+    packed = None
+    if packed_path is not None and packed_path.exists():
+        # larger-than-HBM route: the training set stays on disk (pack it
+        # offline with `links-pack`); never load/normalize/shard it onto
+        # the device — that was the entire point of the streaming feed
+        from links_tpu.data import native_loader
+
+        train_data = None
+        packed = native_loader.PackedDataset(packed_path)
+        n_train = packed.n_rows
+    else:
+        train_data, _ = C.load_train_test(args)
+        n_train = len(train_data)
     logger = C.make_logger(args, "full_pose_norm_flow")
     logger.set_config({"learning_rate": cfg.optim.learning_rate,
                        "BATCH_SIZE": cfg.batch_size, "N_epochs": cfg.n_epochs,
@@ -48,17 +63,27 @@ def main(argv=None):
     key, k_init = jax.random.split(key)
     flow = flows.init_flow(k_init, cfg.num_keypoints)
 
-    steps_per_epoch = len(train_data) // cfg.batch_size
+    steps_per_epoch = n_train // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
-    step = build_full_flow_step(flow.perm, optimizer, cfg)
     state = init_state(flow.params, optimizer)
-
-    mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
     state, key, start_epoch = C.maybe_resume(args, "full_flow", state, key)
+    if start_epoch and C.artifact(args, C.FULL_FLOW).exists():
+        # The SO(D) mixing perms are seed-derived, not in the run
+        # checkpoint; a resumed run must pair the restored params with the
+        # SAVED perms (resuming under a different --seed would otherwise
+        # silently rebuild different orthogonal matrices).
+        flow = flows.Flow(flow.params, C.load_flow(args, C.FULL_FLOW).perm)
+    step = build_full_flow_step(flow.perm, optimizer, cfg)
 
     if args.packed_data:
-        epoch_fn = _packed_epoch_fn(args, cfg, step, train_data, mesh)
+        from links_tpu.train import parallel
+
+        mesh = parallel.make_mesh(args.num_devices)
+        # placeholder carry — the packed feed streams its own batches
+        data2d = jnp.zeros((0, cfg.num_keypoints), jnp.float32)
+        epoch_fn = _packed_epoch_fn(args, cfg, step, train_data, mesh, packed)
     else:
+        mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
         epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
 
     for epoch in range(start_epoch, cfg.n_epochs):
@@ -77,11 +102,15 @@ def main(argv=None):
     return state
 
 
-def _packed_epoch_fn(args, cfg, step, train_data, mesh):
+def _packed_epoch_fn(args, cfg, step, train_data, mesh, packed=None):
     """Epoch driver streaming host batches from the native packed loader
     (larger-than-HBM datasets): the C++ thread pool gathers each shuffled
     batch while the device runs the previous step. Same step function and
-    mesh sharding as the device-resident scan; only the feed differs."""
+    mesh sharding as the device-resident scan; only the feed differs.
+
+    ``packed``: an already-open PackedDataset (main opens it without ever
+    touching the device when the file exists); when None, the file is
+    packed from the in-memory ``train_data`` on first use."""
     from pathlib import Path
 
     import jax.numpy as jnp
@@ -90,11 +119,12 @@ def _packed_epoch_fn(args, cfg, step, train_data, mesh):
     from links_tpu.data import native_loader
     from links_tpu.train import parallel
 
-    ppath = Path(args.packed_data)
-    if not ppath.exists():
-        ppath.parent.mkdir(parents=True, exist_ok=True)
-        native_loader.pack_dataset(ppath, np.asarray(train_data.poses_2d))
-    packed = native_loader.PackedDataset(ppath)
+    if packed is None:
+        ppath = Path(args.packed_data)
+        if not ppath.exists():
+            ppath.parent.mkdir(parents=True, exist_ok=True)
+            native_loader.pack_dataset(ppath, np.asarray(train_data.poses_2d))
+        packed = native_loader.PackedDataset(ppath)
     if packed.n_rows < cfg.batch_size:
         raise ValueError(
             f"packed dataset has {packed.n_rows} rows < batch {cfg.batch_size}")

@@ -43,7 +43,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     # reference flag set (train_occlusion_models.py:27-42)
     parser.add_argument("-n", "--num_bases", type=int, default=26,
-                        help="number of PCA bases")
+                        help="number of PCA bases (kept for reference CLI "
+                             "parity; inert there too — the reference only "
+                             "ever puts it in the wandb run name, "
+                             "train_occlusion_models.py:44-47, and no "
+                             "completer consumes PCA bases)")
     C.add_lifter_flags(parser)
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
@@ -54,21 +58,11 @@ def main(argv=None):
     cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
     train_data, test_data = C.load_train_test(args)
 
-    from links_tpu.ckpt import load_lifter_pt
-
-    stacked_lr = C.load_stacked_lr(args)
-    lifters = {
-        "left": jax.tree.map(lambda a: a[0], stacked_lr),
-        "right": jax.tree.map(lambda a: a[1], stacked_lr),
-        "legs": C.load_params(
-            args, C.LIFTER_LEGS + C.best_suffix(args, C.LIFTER_LEGS),
-            pt_loader=load_lifter_pt),
-        "torso": C.load_params(
-            args, C.LIFTER_TORSO + C.best_suffix(args, C.LIFTER_TORSO),
-            pt_loader=load_lifter_pt),
-    }
+    lifters = C.load_all_lifters(args)
 
     logger = C.make_logger(args, "occlusion_models")
+    # the reference's only use of -n is the wandb run name (:44-47)
+    logger.set_config({"num_bases": args.num_bases})
     key = C.key_from_seed(args.seed)
     key, k_init = jax.random.split(key)
     completers = models.init_all_completers(k_init)

@@ -54,12 +54,19 @@ def main(argv=None):
 
     steps_per_epoch = len(train_data) // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
-    step = build_part_flows_step(perms, full_flow, optimizer, cfg)
     state = init_state(params, optimizer)
+    state, key, start_epoch = C.maybe_resume(args, "part_flows", state, key)
+    if start_epoch:
+        # seed-derived SO(D) perms are not in the run checkpoint; a resumed
+        # run must pair restored params with the SAVED perms (see the same
+        # guard in train_full_pose_norm_flow.py)
+        for name, art in _NAMES.items():
+            if C.artifact(args, art).exists():
+                perms[name] = C.load_flow(args, art).perm
+    step = build_part_flows_step(perms, full_flow, optimizer, cfg)
 
     mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
     epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
-    state, key, start_epoch = C.maybe_resume(args, "part_flows", state, key)
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)

@@ -42,6 +42,10 @@ def main(argv=None):
 
     test_data = C.load_test(args)
     test2d, test3d = test_data.poses_2d, test_data.poses_3d
+    if not 0 <= args.frame < test2d.shape[0]:
+        raise SystemExit(
+            f"--frame {args.frame} out of range (test set has "
+            f"{test2d.shape[0]} poses)")
     default_ext = "gif" if args.what == "video" else "png"
     out = args.out or f"{args.what}_{args.frame}.{default_ext}"
 
@@ -61,17 +65,7 @@ def main(argv=None):
                                           args.depth, out_path=out)
         print(f"frame {args.frame}: PA-MPJPE {err:.2f}mm")
     elif args.what == "occlusion":
-        from links_tpu.ckpt import load_lifter_pt
-
-        stacked = C.load_stacked_lr(args)
-        lifters = {
-            "left": jax.tree.map(lambda a: a[0], stacked),
-            "right": jax.tree.map(lambda a: a[1], stacked),
-            "legs": C.load_params(args, _name(C.LIFTER_LEGS),
-                                  pt_loader=load_lifter_pt),
-            "torso": C.load_params(args, _name(C.LIFTER_TORSO),
-                                   pt_loader=load_lifter_pt),
-        }
+        lifters = C.load_all_lifters(args)
         completers = C.load_params(args, _name(C.OCCLUSION))
         _, err = viz.visualise_occlusion(completers, lifters, test2d, test3d,
                                          args.frame, args.scenario, args.depth,
@@ -86,10 +80,6 @@ def main(argv=None):
         from links_tpu.objectives import lift_left_right_eval
 
         stacked = C.load_stacked_lr(args)
-        if not 0 <= args.frame < test2d.shape[0]:
-            raise SystemExit(
-                f"--frame {args.frame} out of range (test set has "
-                f"{test2d.shape[0]} poses)")
         if args.frames < 1:
             raise SystemExit(f"--frames must be >= 1 (got {args.frames})")
         lo, hi = args.frame, min(args.frame + args.frames, test2d.shape[0])
@@ -105,7 +95,26 @@ def main(argv=None):
                                     fps=args.fps)
     elif args.what == "samples":
         flow = C.load_flow(args, args.flow)
-        viz.visualise_flow_samples(flow, test2d, jax.random.PRNGKey(args.seed),
+        dim = flow.perm.shape[-1]
+        poses = test2d
+        if dim != poses.shape[-1]:
+            # part flow: feed it the matching split of the test poses
+            from links_tpu.core.skeleton import (
+                split_data_left_right,
+                split_data_legs_torso,
+            )
+
+            left, right = split_data_left_right(test2d)
+            legs, torso = split_data_legs_torso(test2d)
+            by_name = {"left": left, "right": right,
+                       "legs": legs, "torso": torso}
+            part = next((p for p in by_name if p in args.flow), None)
+            if part is None or by_name[part].shape[-1] != dim:
+                raise SystemExit(
+                    f"--flow {args.flow} expects {dim}-dim inputs; cannot "
+                    f"infer the matching pose split from the name")
+            poses = by_name[part]
+        viz.visualise_flow_samples(flow, poses, jax.random.PRNGKey(args.seed),
                                    out_path=out)
     print(f"wrote {out}")
 

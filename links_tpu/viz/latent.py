@@ -16,8 +16,12 @@ def visualise_flow_samples(flow: flows.Flow, poses_2d, key, n: int = 8,
     same poses (the reference's active torso-resampling path generalized to
     any flow dimension; latent_2d_visualiser.py:54-58)."""
     plt = _require_plt()
-    samples = flows.draw_samples(flow, poses_2d[:n], key, noise_factor,
-                                 zero_root=flow.dim == 34)
+    # one jitted program (weights as arguments): eager per-op dispatch on a
+    # tunneled TPU costs seconds per op (verify skill notes)
+    draw = jax.jit(flows.draw_samples,
+                   static_argnames=("noise_factor", "zero_root"))
+    samples = draw(flow, poses_2d[:n], key, noise_factor=noise_factor,
+                   zero_root=flow.dim == 34)
     fig, axes = plt.subplots(2, n, figsize=(2.2 * n, 5))
     for i in range(n):
         _plot_any(axes[0, i], np.asarray(poses_2d[i]), "real" if i == 0 else None)
