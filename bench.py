@@ -35,8 +35,10 @@ REPEATS = 3
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 
 
-def _measure_tpu(batch: int = BATCH, bf16: bool = True,
-                 bf16_opt_state: bool = False) -> float:
+def _flagship_step(batch: int, bf16: bool = True,
+                   bf16_opt_state: bool = False):
+    """(step, stacked_params, optimizer) for the flagship stage-3a train
+    step — shared by the scan-fed and stream-fed measurements."""
     import dataclasses
 
     import jax
@@ -63,9 +65,57 @@ def _measure_tpu(batch: int = BATCH, bf16: bool = True,
     )
     optimizer = train.make_optimizer(cfg.optim, steps_per_epoch=SCAN_STEPS)
     step = train.build_left_right_step(frozen, optimizer, cfg)
+    return step, stacked, optimizer
+
+
+def _measure_tpu(batch: int = BATCH, bf16: bool = True,
+                 bf16_opt_state: bool = False) -> float:
+    step, stacked, optimizer = _flagship_step(batch, bf16, bf16_opt_state)
     # one timing harness for every stage (flagship included) so the
     # warmup/repeat/counting methodology cannot drift between rows
     return _bench_epochs(step, stacked, optimizer, batch)
+
+
+def _measure_packed_feed(batch: int = BATCH) -> float:
+    """Flagship step fed by the native streaming loader (train/feed.py)
+    instead of the device-resident epoch scan: C++ shuffled gather +
+    chunked host→device transfers + a scanned multi-step program per
+    chunk. The gap to the scan row is the price of the larger-than-HBM
+    path on an in-HBM-sized set."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from links_tpu import train
+    from links_tpu.data import native_loader
+    from links_tpu.train import feed, parallel
+
+    step, stacked, optimizer = _flagship_step(batch)
+    rows = batch * SCAN_STEPS
+    data = jax.random.normal(jax.random.PRNGKey(9), (rows, 34),
+                             jnp.float32) * 0.1
+    data = data.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
+    with tempfile.TemporaryDirectory() as td:
+        path = td + "/bench.lnks"
+        native_loader.pack_dataset(path, np.asarray(data))
+        packed = native_loader.PackedDataset(path)
+        mesh = parallel.make_mesh(1)
+        epoch_fn, carry = feed.packed_epoch_fn(packed, batch, step, mesh)
+        state = train.init_state(stacked, optimizer)
+        key = jax.random.PRNGKey(1)
+        state, losses = epoch_fn(state, carry, key)  # compile + warm cache
+        jax.block_until_ready(losses["loss"])
+        best = 0.0
+        for _ in range(REPEATS):
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            state, losses = epoch_fn(state, carry, sub)
+            jax.block_until_ready(losses["loss"])
+            best = max(best, rows / (time.perf_counter() - t0))
+        packed.close()
+    return best
 
 
 def _bench_epochs(step, params, optimizer, batch: int, dim: int = 34) -> float:
@@ -345,6 +395,14 @@ def main(argv=None):
         value = _measure_tpu(bf16_opt_state=True)
         print(json.dumps({
             "metric": "stage3a_train_poses_per_sec_per_chip_bf16_opt_state",
+            "value": round(value, 1), "unit": "poses/s",
+            "vs_baseline": round(value / baseline, 2),
+        }))
+        # the --packed-data streaming feed (native loader) on the same
+        # step: the gap to the headline is the larger-than-HBM path's cost
+        value = _measure_packed_feed()
+        print(json.dumps({
+            "metric": "stage3a_packed_stream_poses_per_sec_per_chip",
             "value": round(value, 1), "unit": "poses/s",
             "vs_baseline": round(value / baseline, 2),
         }))

@@ -103,6 +103,14 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="additionally export reference-layout .pt files")
     parser.add_argument("--num-devices", type=int, default=None,
                         help="devices in the data mesh (default: all)")
+    parser.add_argument("--packed-data", default=None,
+                        help="stream train batches from a packed LNKS file "
+                             "through the native C++ loader (the "
+                             "larger-than-HBM path; data/native_loader.py "
+                             "+ train/feed.py). When the file already "
+                             "exists the train split is never loaded at "
+                             "all; otherwise it is packed from --data on "
+                             "first use (or explicitly via links-pack)")
     parser.add_argument("--distributed", action="store_true",
                         help="multi-host: call jax.distributed.initialize() "
                              "before mesh construction (coordinator/process "
@@ -230,6 +238,48 @@ def load_train(args):
     that never evaluate."""
     path, loader, train_s, _, _, use_gt = _split_spec(args)
     return loader(path, train_s, normalize_func=normalize_head, use_gt=use_gt)
+
+
+def load_train_test_or_packed(args):
+    """``(train_data, test_data, n_train, packed)`` — load_train_test,
+    except when --packed-data names an existing LNKS pack: then the train
+    split never touches host memory or the device (train_data=None, row
+    count from the pack header) and only the test split is loaded. With
+    --packed-data naming a not-yet-existing file, the split is loaded once
+    to create the pack, then streams."""
+    packed = None
+    ppath = Path(args.packed_data) if getattr(args, "packed_data", None) else None
+    if ppath is not None and ppath.exists():
+        from links_tpu.data import native_loader
+
+        packed = native_loader.PackedDataset(ppath)
+        return None, load_test(args), packed.n_rows, packed
+    train_data, test_data = load_train_test(args)
+    if ppath is not None:
+        from links_tpu.train.feed import open_or_pack
+
+        packed = open_or_pack(ppath, train_data.poses_2d)
+    return train_data, test_data, len(train_data), packed
+
+
+def train_feed(args, cfg, step, train_data, packed, *test_arrays):
+    """One routing point for the epoch driver. Returns
+    ``(mesh, epoch_fn, carry, test_sharded)`` where
+    ``epoch_fn(state, carry, key)`` is either the device-resident DP epoch
+    scan (default) or the native streaming feed (--packed-data); stage
+    loops are identical under both."""
+    from links_tpu.train import feed, parallel
+    from links_tpu.train import dp_epoch_fn
+
+    mesh = parallel.make_mesh(args.num_devices)
+    test_sharded = tuple(parallel.shard_batch(a, mesh) for a in test_arrays)
+    if packed is not None:
+        epoch_fn, carry = feed.packed_epoch_fn(packed, cfg.batch_size, step,
+                                               mesh)
+    else:
+        carry = parallel.shard_batch(train_data.poses_2d, mesh)
+        epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    return mesh, epoch_fn, carry, test_sharded
 
 
 def _train_head_scale(path, train_subjects, use_gt: bool = True) -> float:
@@ -555,14 +605,6 @@ def maybe_init_distributed(args):
         if "once" in msg or "already" in msg:
             return
         raise
-
-
-def mesh_and_shard(args, *arrays):
-    """Build the data mesh and shard arrays on their batch axis."""
-    from links_tpu.train import parallel
-
-    mesh = parallel.make_mesh(args.num_devices)
-    return mesh, tuple(parallel.shard_batch(a, mesh) for a in arrays)
 
 
 def key_from_seed(seed: int):

@@ -21,7 +21,6 @@ from links_tpu.core.skeleton import BONE_RELATIONS_MEAN_H36M
 from links_tpu.objectives import LifterFrozen, lift_leg_torso_eval
 from links_tpu.train import (
     build_leg_torso_step,
-    dp_epoch_fn,
     init_state,
     make_optimizer,
 )
@@ -57,7 +56,7 @@ def main(argv=None):
         weight_3d=args.rot3d, weight_velocity=args.velocity,
         weight_likeli=args.likelihood,
     ))
-    train_data, test_data = C.load_train_test(args)
+    train_data, test_data, n_train, packed = C.load_train_test_or_packed(args)
     frozen = LifterFrozen(
         full_flow=C.load_flow(args, C.FULL_FLOW),
         part_a=C.load_flow(args, C.FLOW_LEGS),
@@ -65,6 +64,11 @@ def main(argv=None):
     )
     bone_means = None  # objective default = MPI vnect interesting
     if args.bone_means == "data":
+        if train_data is None:
+            raise SystemExit(
+                "--bone-means data needs the train split's 3D GT, which an "
+                "existing --packed-data pack does not carry (it holds only "
+                "2D poses); pass explicit means or drop --packed-data")
         bone_means = C.bone_means_from_data(train_data)
     elif args.bone_means == "h36m":
         import jax.numpy as jnp
@@ -83,15 +87,15 @@ def main(argv=None):
         "torso": models.init_lifter(k_torso, models.TORSO_JOINTS),
     }
 
-    steps_per_epoch = len(train_data) // cfg.batch_size
+    steps_per_epoch = n_train // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
     step = build_leg_torso_step(frozen, optimizer, cfg, bone_means)
     state = init_state(params, optimizer)
 
-    mesh, (data2d, test2d, test3d) = C.mesh_and_shard(
-        args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
+    _, epoch_fn, data2d, (test2d, test3d) = C.train_feed(
+        args, cfg, step, train_data, packed,
+        test_data.poses_2d, test_data.poses_3d,
     )
-    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
     best = C.BestTracker("pa")
     if args.resume:

@@ -20,7 +20,6 @@ from links_tpu.config import OcclusionTrainConfig
 from links_tpu.objectives import occlusion as occ
 from links_tpu.train import (
     build_occlusion_step,
-    dp_epoch_fn,
     init_state,
     make_optimizer,
 )
@@ -56,7 +55,7 @@ def main(argv=None):
     C.maybe_init_distributed(args)
 
     cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
-    train_data, test_data = C.load_train_test(args)
+    train_data, test_data, n_train, packed = C.load_train_test_or_packed(args)
 
     lifters = C.load_all_lifters(args)
 
@@ -67,15 +66,15 @@ def main(argv=None):
     key, k_init = jax.random.split(key)
     completers = models.init_all_completers(k_init)
 
-    steps_per_epoch = len(train_data) // cfg.batch_size
+    steps_per_epoch = n_train // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
     step = build_occlusion_step(lifters["legs"], lifters["torso"], optimizer, cfg)
     state = init_state(completers, optimizer)
 
-    mesh, (data2d, test2d, test3d) = C.mesh_and_shard(
-        args, train_data.poses_2d, test_data.poses_2d, test_data.poses_3d
+    _, epoch_fn, data2d, (test2d, test3d) = C.train_feed(
+        args, cfg, step, train_data, packed,
+        test_data.poses_2d, test_data.poses_3d,
     )
-    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
     best = C.BestTracker("pa_scenario_mean")
     if args.resume:

@@ -17,7 +17,6 @@ from links_tpu.cli import _common as C
 from links_tpu.config import PartFlowTrainConfig
 from links_tpu.train import (
     build_part_flows_step,
-    dp_epoch_fn,
     init_state,
     make_optimizer,
 )
@@ -38,7 +37,7 @@ def main(argv=None):
     cfg = C.resolve_cfg(
         args, PartFlowTrainConfig(side_keypoints=args.left_right_side_keypoints)
     )
-    train_data, _ = C.load_train_test(args)
+    train_data, _, n_train, packed = C.load_train_test_or_packed(args)
     full_flow = C.load_flow(args, C.FULL_FLOW)
     logger = C.make_logger(args, "part_norm_flows")
 
@@ -52,7 +51,7 @@ def main(argv=None):
     params = {n: f.params for n, f in part.items()}
     perms = {n: f.perm for n, f in part.items()}
 
-    steps_per_epoch = len(train_data) // cfg.batch_size
+    steps_per_epoch = n_train // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
     state = init_state(params, optimizer)
     state, key, start_epoch = C.maybe_resume(args, "part_flows", state, key)
@@ -65,8 +64,7 @@ def main(argv=None):
                 perms[name] = C.load_flow(args, art).perm
     step = build_part_flows_step(perms, full_flow, optimizer, cfg)
 
-    mesh, (data2d,) = C.mesh_and_shard(args, train_data.poses_2d)
-    epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
+    _, epoch_fn, data2d, _ = C.train_feed(args, cfg, step, train_data, packed)
 
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)

@@ -143,3 +143,37 @@ def test_pack_cli_roundtrip(tmp_path, capsys):
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["n_rows"] == 80 and rec["n_cols"] == 34
     assert rec["head_std"] > 0
+
+
+@pytest.mark.slow
+def test_stage3a_cli_packed_data_path(tmp_path):
+    """--packed-data is a common flag: the flagship stage-3a trainer streams
+    train batches from the native loader like every other stage. Second run
+    hits the pack-already-exists branch, where the train split is never
+    loaded at all (load_train_test_or_packed returns train_data=None and the
+    row count from the LNKS header)."""
+    from links_tpu.cli.train_full_pose_norm_flow import main as s1
+    from links_tpu.cli.train_left_right_lifter import main as s3a
+    from links_tpu.cli.train_part_norm_flows import main as s2
+
+    base = [
+        "--data", str(tmp_path / "synth.pkl"),
+        "--model-dir", str(tmp_path / "models"),
+        "--synthetic", "--synthetic-n", "48",
+        "--epochs", "1", "--batch-size", "16", "--f32",
+    ]
+    packed = ["--packed-data", str(tmp_path / "train2d.lnks")]
+    s1(base)  # frozen flows the lifter step needs
+    s2(base)
+    state = s3a(base + packed)
+    assert (tmp_path / "train2d.lnks").exists()
+    assert (tmp_path / "models" / "lifter_left_right").exists()
+    assert int(state.step) > 0
+
+    # pack exists now: the skip-load branch still validates/saves normally
+    state2 = s3a(base + packed + ["--epochs", "2", "--resume"])
+    assert int(state2.step) > int(state.step)
+
+    # --bone-means data cannot be honored without the train split's 3D GT
+    with pytest.raises(SystemExit, match="bone-means data"):
+        s3a(base + packed + ["--bone-means", "data"])
