@@ -18,6 +18,9 @@ a 1-D ``('data',)`` mesh. Two equivalent paths are provided:
   state drops from 3×P to 3×P/N + one transient gathered copy. Irrelevant
   for these ≈15M-param lifters, but it is the recipe this framework would
   scale with, and it is equality-tested against the replicated path.
+* DP×TP (``dp_tp_step`` over a 2-D ('data','model') mesh): weights
+  Megatron-sharded over 'model' via ``tp_param_specs``, batch over
+  'data'; the recipe for scaling model width past one chip's HBM.
 
 Multi-host scaling: call ``jax.distributed.initialize()`` before mesh
 construction; DCN handling is transparent to this module.
@@ -241,3 +244,111 @@ def dp_shard_map_step(loss_fn: Callable, optimizer, mesh: Mesh):
         return steps.TrainState(params, opt_state, state.step + 1), aux
 
     return jax.jit(step)
+
+
+# --------------------------------------------------------------------------
+# Tensor parallelism (2-D ('data', 'model') mesh)
+#
+# The reference's models never need TP (1024-wide MLPs, ~15M params —
+# SURVEY.md §2.11 reserves the axis in design only). This is the
+# annotation-level recipe the framework scales wider models with, exactly
+# as the scaling-book prescribes: pick a mesh, annotate the weight
+# shardings Megatron-style, and let XLA's partitioner place the
+# collectives on ICI. For each Linear→…→Linear pair in the res-block MLPs
+# the first weight column-shards (fan_out over 'model'), the second
+# row-shards (fan_in over 'model'): activations between them stay sharded
+# on the feature axis and the only communication is one psum after the
+# second matmul. Batch stays sharded over 'data', so the layout composes
+# DP×TP.
+
+
+_COLUMN_LINEARS = frozenset({"l1", "upscale"})     # shard fan_out
+_ROW_LINEARS = frozenset({"l2", "downscale", "angles"})  # shard fan_in
+
+
+def _path_names(path) -> list:
+    names = []
+    for p in path:
+        key = getattr(p, "key", None)
+        if key is None:
+            key = getattr(p, "name", None)
+        if isinstance(key, str):
+            names.append(key)
+    return names
+
+
+def tp_param_specs(params):
+    """PartitionSpec pytree for Megatron-style TP over the res-block MLPs.
+
+    Sharding is decided by the linear's role in the pytree (leading stack
+    axes from vmapped model families stay unsharded):
+
+    * ``l1``/``upscale`` (the producer of a model-sharded activation):
+      weight sharded on fan_out, bias sharded with its columns;
+    * ``l2``/``downscale``/``angles`` (the consumer): weight sharded on
+      fan_in, bias replicated (the psum output is replicated);
+    * ``ln1`` (acts on the sharded activation): sharded on features;
+    * anything unrecognized (attention qkv, flow leaves): replicated.
+    """
+    import jax.tree_util as jtu
+
+    def spec(path, leaf):
+        names = _path_names(path)
+        parent = names[-2] if len(names) >= 2 else ""
+        field = names[-1] if names else ""
+        nd = getattr(leaf, "ndim", 0)
+        if parent in _COLUMN_LINEARS and field == "w" and nd >= 2:
+            return P(*([None] * (nd - 1)), "model")
+        if parent in _COLUMN_LINEARS and field == "b" and nd >= 1:
+            return P(*([None] * (nd - 1)), "model")
+        if parent in _ROW_LINEARS and field == "w" and nd >= 2:
+            return P(*([None] * (nd - 2)), "model", None)
+        if field == "ln1" or parent == "ln1":
+            return P(*([None] * (nd - 1)), "model") if nd >= 1 else P()
+        return P()
+
+    return jtu.tree_map_with_path(spec, params)
+
+
+def tp_state_shardings(state, mesh: Mesh):
+    """NamedSharding pytree for a TrainState under the TP layout: params
+    (and the Adam moments, which mirror the params tree) carry
+    ``tp_param_specs``; every other optimizer leaf and the step counter
+    replicate."""
+    import links_tpu.train.steps as steps
+
+    repl = replicated(mesh)
+    pshard = jax.tree.map(lambda s: NamedSharding(mesh, s),
+                          tp_param_specs(state.params))
+
+    def opt_entry(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=repl, mu=pshard, nu=pshard)
+        return repl  # array leaf of a non-Adam transform state
+
+    opt_sh = jax.tree.map(
+        opt_entry, state.opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState))
+    return steps.TrainState(pshard, opt_sh, repl)
+
+
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    devices = jax.devices()
+    need = n_data * n_model
+    assert len(devices) >= need, f"need {need} devices, have {len(devices)}"
+    return Mesh(np.array(devices[:need]).reshape(n_data, n_model),
+                ("data", "model"))
+
+
+def dp_tp_step(step_fn: Callable, mesh: Mesh, state_template):
+    """DP×TP step: batch sharded over 'data', weights Megatron-sharded
+    over 'model' (see tp_param_specs), optimizer state sharded with its
+    params. XLA places the activation psums and keeps the Adam update
+    shard-local on each weight's home devices."""
+    state_sh = tp_state_shardings(state_template, mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(state_sh, data_sharding(mesh), replicated(mesh)),
+        out_shardings=(state_sh, replicated(mesh)),
+        donate_argnums=(0,),
+    )

@@ -218,6 +218,45 @@ def test_zero_sharded_optimizer_matches_replicated(rng):
     assert shard0.data.size == mu.size // mesh.devices.size
 
 
+def test_dp_tp_matches_single_device(rng):
+    """DP×TP on a (4, 2) ('data','model') mesh — weights Megatron-sharded
+    over 'model' (tp_param_specs), batch over 'data' — is annotation-only:
+    the jitted program must reproduce the unsharded step's loss and params
+    up to f32 reduction reassociation, and the weights must genuinely live
+    sharded (each device holds half of every column/row-sharded matrix)."""
+    cfg, stacked, frozen = _lr_setup()
+    optimizer = train.make_optimizer(cfg.optim, 2)
+    step = train.build_left_right_step(frozen, optimizer, cfg)
+    batch = _poses(rng, 32)
+    key = jax.random.PRNGKey(21)
+
+    ref_state, ref_aux = jax.jit(step)(
+        train.init_state(stacked, optimizer), batch, key)
+
+    mesh2 = parallel.make_mesh_2d(4, 2)
+    state = train.init_state(stacked, optimizer)
+    tp_step = parallel.dp_tp_step(step, mesh2, state)
+    state = jax.device_put(state, parallel.tp_state_shardings(state, mesh2))
+
+    # column-sharded l1 really is split over 'model': each device's shard
+    # holds fan_out/2 columns (leading axis 2 = the left/right stack)
+    w = state.params["res_common"]["l1"]["w"]
+    shard = next(iter(w.addressable_shards))
+    assert shard.data.shape == (2, 2 * HID, HID)
+    w2 = state.params["res_common"]["l2"]["w"]
+    assert next(iter(w2.addressable_shards)).data.shape == (2, HID, 2 * HID)
+
+    state, aux = tp_step(
+        state, jax.device_put(batch, parallel.data_sharding(mesh2)), key)
+    np.testing.assert_allclose(float(aux["loss"]), float(ref_aux["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_state.params),
+                    jax.tree.leaves(state.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 1e-4, rel
+
+
 def test_uneven_device_counts():
     # meshes smaller than the full device set
     mesh4 = parallel.make_mesh(4)
