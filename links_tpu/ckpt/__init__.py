@@ -1,3 +1,8 @@
+from links_tpu.ckpt.export_io import (  # noqa: F401
+    export_serving,
+    exported_info,
+    load_exported,
+)
 from links_tpu.ckpt.orbax_io import (  # noqa: F401
     restore_checkpoint,
     restore_rng_key,

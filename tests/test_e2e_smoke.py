@@ -185,6 +185,24 @@ def test_lift_cli(workspace, tmp_path):
     assert pred3.shape == (48, 3, 17) and np.isfinite(pred3).all()
 
 
+def test_export_cli(workspace, tmp_path):
+    """links-export freezes the serving forward into a self-contained
+    StableHLO artifact (weights embedded, symbolic batch) and verifies the
+    round trip against the live forward; --inspect reads it back."""
+    from links_tpu.cli.export_model import main
+
+    out = tmp_path / "lr.stablehlo"
+    summary = main(_args(workspace, ["--out", str(out),
+                                     "--platforms", "cpu"]))
+    assert summary["verified"] is True
+    assert summary["batch"] == "symbolic"
+    assert out.stat().st_size == summary["bytes"] > 1_000_000
+
+    info = main(["--inspect", str(out)])
+    assert info["platforms"] == ["cpu"]
+    assert any("51" in s for s in info["outputs"])
+
+
 def test_visualise_video(workspace):
     """--what video renders a GT-vs-prediction comparison clip through the
     CLI (reference ships pre-rendered videos, videos/README.md:1-17)."""
