@@ -216,10 +216,12 @@ def _measure_stage4(batch: int = BATCH) -> float:
     return _bench_epochs(step, completers, optimizer, batch)
 
 
-def _measure_serving(batch: int) -> tuple[float, float]:
+def _measure_serving(batch: int, quant: str | None = None) -> tuple[float, float]:
     """Inference serving numbers for the left/right lifting forward (the
     `links-lift` CLI's jitted program, cli/lift.py): returns
-    (per-call latency ms, poses/s) at a fixed batch size."""
+    (per-call latency ms, poses/s) at a fixed batch size. ``quant='int8'``
+    serves post-training-quantized weights (ops/quant.py; the links-lift
+    --quant int8 path — s8xs8->s32 MXU matmuls)."""
     import jax
     import jax.numpy as jnp
 
@@ -232,6 +234,10 @@ def _measure_serving(batch: int) -> tuple[float, float]:
         models.init_lifter(keys[0], models.SIDE_JOINTS),
         models.init_lifter(keys[1], models.SIDE_JOINTS),
     )
+    if quant == "int8":
+        from links_tpu.ops.quant import quantize_params
+
+        stacked = quantize_params(stacked)
     poses = jax.random.normal(keys[2], (batch, 34), jnp.float32) * 0.1
     poses = poses.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
 
@@ -361,6 +367,16 @@ def main(argv=None):
             ms, pps = _measure_serving(batch)
             print(json.dumps({
                 "metric": f"serve_left_right_batch{batch}_latency",
+                "value": round(ms, 3), "unit": "ms",
+                "poses_per_sec": round(pps, 1),
+            }))
+        # int8 serving (links-lift --quant int8): weight HBM traffic /4,
+        # s8xs8->s32 MXU at 2x the bf16 rate — visible where the tunneled
+        # chip's fixed program floor stops dominating (large batch)
+        for batch in (256, 4096, 16384):
+            ms, pps = _measure_serving(batch, quant="int8")
+            print(json.dumps({
+                "metric": f"serve_left_right_batch{batch}_int8_latency",
                 "value": round(ms, 3), "unit": "ms",
                 "poses_per_sec": round(pps, 1),
             }))

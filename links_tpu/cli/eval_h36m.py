@@ -37,6 +37,10 @@ def main(argv=None):
                              "keypoints, recover via completers, and compare "
                              "against the naive no-completion lift")
     parser.add_argument("--json", action="store_true", help="emit one JSON line")
+    parser.add_argument("--quant", choices=["int8"], default=None,
+                        help="evaluate with int8-quantized serving weights "
+                             "(ops/quant.py) — measures the accuracy cost "
+                             "of links-lift/links-export --quant int8")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -51,17 +55,24 @@ def main(argv=None):
 
     from links_tpu.ckpt import load_lifter_pt
 
+    def _maybe_quant(tree):
+        if args.quant == "int8":
+            from links_tpu.ops.quant import quantize_params
+
+            return quantize_params(tree)
+        return tree
+
     results = {}
     if args.mode == "left_right":
-        stacked = C.load_stacked_lr(args)
+        stacked = _maybe_quant(C.load_stacked_lr(args))
         pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3))(
             stacked, test2d, args.depth, args.choice
         )
     else:
-        legs = C.load_params(args, _name(C.LIFTER_LEGS),
-                             pt_loader=load_lifter_pt)
-        torso = C.load_params(args, _name(C.LIFTER_TORSO),
-                              pt_loader=load_lifter_pt)
+        legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
+                                          pt_loader=load_lifter_pt))
+        torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
+                                           pt_loader=load_lifter_pt))
         pred = jax.jit(lift_leg_torso_eval, static_argnums=(3,))(
             legs, torso, test2d, args.depth
         )
@@ -91,8 +102,8 @@ def main(argv=None):
     if args.occlusion or args.dropout:
         from links_tpu.objectives import occlusion as occ
 
-        lifters = C.load_all_lifters(args)
-        completers = C.load_params(args, _name(C.OCCLUSION))
+        lifters = _maybe_quant(C.load_all_lifters(args))
+        completers = _maybe_quant(C.load_params(args, _name(C.OCCLUSION)))
 
     if args.dropout:
         @jax.jit

@@ -55,6 +55,9 @@ def main(argv=None):
                         help="skip the deserialize-and-compare round trip")
     parser.add_argument("--inspect", metavar="ARTIFACT", default=None,
                         help="print an existing artifact's metadata and exit")
+    parser.add_argument("--quant", choices=["int8"], default=None,
+                        help="embed int8-quantized weights (ops/quant.py): "
+                             "~4x smaller artifact, s8xs8->s32 MXU serving")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -72,13 +75,20 @@ def main(argv=None):
     def _name(base):
         return base + C.best_suffix(args, base)
 
+    def _maybe_quant(tree):
+        if args.quant == "int8":
+            from links_tpu.ops.quant import quantize_params
+
+            return quantize_params(tree)
+        return tree
+
     # Weights close over the exported fn on purpose: jax.export embeds
     # them as StableHLO constants — the artifact must be self-contained.
     # (This is the opposite discipline from live jit, where closure
     # capture is a compile-stall bug; export only *lowers*.)
     if args.scenario:
-        lifters = C.load_all_lifters(args)
-        completers = C.load_params(args, _name(C.OCCLUSION))
+        lifters = _maybe_quant(C.load_all_lifters(args))
+        completers = _maybe_quant(C.load_params(args, _name(C.OCCLUSION)))
         joints = occ.DROPOUT_SCENARIO_JOINTS[args.scenario]
         scenario = args.scenario
 
@@ -89,15 +99,15 @@ def main(argv=None):
                 scenarios=(scenario,))[scenario]
             return poses.reshape(p2d.shape[0], 51)
     elif args.mode == "left_right":
-        stacked = C.load_stacked_lr(args)
+        stacked = _maybe_quant(C.load_stacked_lr(args))
 
         def fwd(p2d):
             return lift_left_right_eval(stacked, p2d, args.depth, args.choice)
     else:
-        legs = C.load_params(args, _name(C.LIFTER_LEGS),
-                             pt_loader=ckpt.load_lifter_pt)
-        torso = C.load_params(args, _name(C.LIFTER_TORSO),
-                              pt_loader=ckpt.load_lifter_pt)
+        legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
+                                          pt_loader=ckpt.load_lifter_pt))
+        torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
+                                           pt_loader=ckpt.load_lifter_pt))
 
         def fwd(p2d):
             return lift_leg_torso_eval(legs, torso, p2d, args.depth)
@@ -121,7 +131,7 @@ def main(argv=None):
     summary = {
         "out": args.out, "bytes": nbytes, "platforms": list(platforms),
         "batch": args.batch if args.batch else "symbolic",
-        "mode": args.mode, "scenario": args.scenario,
+        "mode": args.mode, "scenario": args.scenario, "quant": args.quant,
         "outputs": [str(a) for a in exp.out_avals], "verified": verified,
     }
     print(json.dumps(summary))

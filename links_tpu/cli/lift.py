@@ -90,6 +90,12 @@ def main(argv=None):
                              "fused Pallas kernel (bf16 multiplies, chunked "
                              "at <=512 poses; see PERF.md 'Inference "
                              "serving')")
+    parser.add_argument("--quant", choices=["int8"], default=None,
+                        help="post-training quantization of the serving "
+                             "weights: int8 runs the MXU's s8xs8->s32 2x-"
+                             "rate path with dynamic per-row activation "
+                             "scales (ops/quant.py; accuracy delta in "
+                             "PERF.md 'Int8 serving')")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -118,12 +124,22 @@ def main(argv=None):
         raise SystemExit(
             "--fused covers the plain left_right forward only; it cannot "
             "serve --scenario infill or --mode leg_torso")
+    if args.fused and args.quant:
+        raise SystemExit("--fused and --quant are mutually exclusive "
+                         "(the Pallas kernel multiplies in bf16)")
+
+    def _maybe_quant(tree):
+        if args.quant == "int8":
+            from links_tpu.ops.quant import quantize_params
+
+            return quantize_params(tree)
+        return tree
 
     if args.scenario:
         # occluded serving path: lifters that never see the dropped joints
         # + completer infill (dropout_eval_poses semantics, single scenario)
-        lifters = C.load_all_lifters(args)
-        completers = C.load_params(args, _name(C.OCCLUSION))
+        lifters = _maybe_quant(C.load_all_lifters(args))
+        completers = _maybe_quant(C.load_params(args, _name(C.OCCLUSION)))
         joints = occ.DROPOUT_SCENARIO_JOINTS[args.scenario]
 
         # model weights are jit *arguments* (closure-captured arrays bake
@@ -137,7 +153,7 @@ def main(argv=None):
 
         fn = lambda p2d: _infill(completers, lifters, p2d)
     elif args.mode == "left_right":
-        stacked = C.load_stacked_lr(args)
+        stacked = _maybe_quant(C.load_stacked_lr(args))
         if args.fused:
             # single fused Pallas kernel for both side lifters (bf16
             # multiply policy; ops/fused_infer.py) — opt-in serving path
@@ -152,10 +168,10 @@ def main(argv=None):
             _lift = jax.jit(lift_left_right_eval, static_argnums=(2, 3))
             fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice)
     else:
-        legs = C.load_params(args, _name(C.LIFTER_LEGS),
-                             pt_loader=load_lifter_pt)
-        torso = C.load_params(args, _name(C.LIFTER_TORSO),
-                              pt_loader=load_lifter_pt)
+        legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
+                                          pt_loader=load_lifter_pt))
+        torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
+                                           pt_loader=load_lifter_pt))
         _lift = jax.jit(lift_leg_torso_eval, static_argnums=(3,))
         fn = lambda p2d: _lift(legs, torso, p2d, args.depth)
 
@@ -167,7 +183,7 @@ def main(argv=None):
     pred_3d = pred.reshape(n, 3, 17)
     np.savez_compressed(args.out, poses_3d=pred_3d, poses_2d=poses_2d)
     print(json.dumps({
-        "poses": n, "batch": batch, "mode": args.mode,
+        "poses": n, "batch": batch, "mode": args.mode, "quant": args.quant,
         "scenario": args.scenario, "seconds": round(dt, 4),
         "poses_per_sec": round(n / dt, 1) if dt > 0 else None,
         "out": args.out,

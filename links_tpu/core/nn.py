@@ -53,10 +53,29 @@ def init_linear(key, fan_in: int, fan_out: int, dtype=jnp.float32):
 
 def dense(params, x, policy: Policy = F32):
     """y = x @ w + b under the dtype policy (bf16 multiply / f32 accumulate
-    when policy.compute_dtype == bf16)."""
+    when policy.compute_dtype == bf16).
+
+    Dispatches on the param layout: an int8-quantized linear
+    (``w_q``/``w_scale`` from ops/quant.py:quantize_params) runs the
+    s8×s8→s32 MXU path — activations dynamically quantized per row,
+    int32 accumulation, f32 rescale — so every model apply serves
+    quantized weights without code changes."""
+    if "w_q" in params:
+        return _dense_int8(params, x, policy)
     w = params["w"].astype(policy.compute_dtype)
     xc = x.astype(policy.compute_dtype)
     y = jnp.dot(xc, w, preferred_element_type=jnp.float32)
+    return (y + params["b"]).astype(policy.output_dtype)
+
+
+def _dense_int8(params, x, policy: Policy = F32):
+    """w8a8 serving matmul: per-row dynamic activation scales, per-output-
+    channel weight scales (ops/quant.py), int32 MXU accumulation."""
+    x = x.astype(jnp.float32)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
+    x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = jnp.dot(x_q, params["w_q"], preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (x_scale * params["w_scale"])
     return (y + params["b"]).astype(policy.output_dtype)
 
 

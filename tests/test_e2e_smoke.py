@@ -184,6 +184,13 @@ def test_lift_cli(workspace, tmp_path):
                                    "--scenario", "torso"]))
     assert pred3.shape == (48, 3, 17) and np.isfinite(pred3).all()
 
+    # int8 post-training quantized serving stays close to the f32 output
+    out4 = tmp_path / "pred_q.npz"
+    pred4 = main(_args(workspace, ["--raw-2d", str(raw), "--out", str(out4),
+                                   "--quant", "int8"]))
+    rel = np.linalg.norm(pred4 - pred) / np.linalg.norm(pred)
+    assert rel < 0.05, rel
+
 
 def test_export_cli(workspace, tmp_path):
     """links-export freezes the serving forward into a self-contained
@@ -201,6 +208,13 @@ def test_export_cli(workspace, tmp_path):
     info = main(["--inspect", str(out)])
     assert info["platforms"] == ["cpu"]
     assert any("51" in s for s in info["outputs"])
+
+    # int8-quantized export: same program, ~4x smaller embedded weights
+    outq = tmp_path / "lr_q.stablehlo"
+    sq = main(_args(workspace, ["--out", str(outq), "--platforms", "cpu",
+                                "--quant", "int8"]))
+    assert sq["verified"] is True
+    assert sq["bytes"] < 0.35 * summary["bytes"]
 
 
 def test_visualise_video(workspace):

@@ -1,0 +1,94 @@
+"""Int8 post-training quantization (ops/quant.py + nn.dense dispatch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from links_tpu import models
+from links_tpu.core import nn
+from links_tpu.objectives import lift_left_right_eval
+from links_tpu.ops.quant import is_quantized, quantize_params
+
+HID = 128
+
+
+def test_dense_int8_matches_manual(rng):
+    lin = nn.init_linear(jax.random.PRNGKey(0), 64, 32)
+    q = quantize_params(lin)
+    assert q["w_q"].dtype == jnp.int8
+    assert q["w_scale"].shape == (1, 32)
+    # int8 weights reconstruct the f32 weights to within half a step
+    w_back = np.asarray(q["w_q"], np.float32) * np.asarray(q["w_scale"])
+    step = np.asarray(q["w_scale"])
+    assert np.all(np.abs(w_back - np.asarray(lin["w"])) <= 0.5 * step + 1e-8)
+
+    x = rng.normal(size=(16, 64)).astype(np.float32)
+    got = np.asarray(nn.dense(q, jnp.asarray(x)))
+    # manual reference computation of the w8a8 path
+    xs = np.maximum(np.abs(x).max(-1, keepdims=True), 1e-12) / 127.0
+    xq = np.clip(np.round(x / xs), -127, 127).astype(np.int8)
+    want = (xq.astype(np.int32) @ np.asarray(q["w_q"], np.int32)).astype(
+        np.float32) * (xs * np.asarray(q["w_scale"])) + np.asarray(lin["b"])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    # and it approximates the f32 dense closely on tame inputs
+    exact = np.asarray(nn.dense(lin, jnp.asarray(x)))
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 0.02, rel
+
+
+def test_quantize_params_structure_and_passthrough():
+    lifter = models.init_lifter(jax.random.PRNGKey(1), 11, hidden=HID,
+                                use_layernorm=True)
+    q = quantize_params(lifter)
+    assert is_quantized(q) and not is_quantized(lifter)
+    # structure preserved: same top-level modules, layernorms untouched
+    assert set(q) == set(lifter)
+    np.testing.assert_array_equal(
+        np.asarray(q["res_common"]["ln1"]["scale"]),
+        np.asarray(lifter["res_common"]["ln1"]["scale"]))
+    # every linear converted, biases kept f32
+    assert "w" not in q["upscale"] and q["upscale"]["w_q"].dtype == jnp.int8
+    assert q["downscale"]["b"].dtype == jnp.float32
+    # idempotent-safe: a quantized tree has no {"w","b"} linears left
+    assert not any(getattr(l, "dtype", None) == jnp.float64
+                   for l in jax.tree.leaves(q))
+
+
+def test_quantized_lifter_forward_close_to_f32(rng):
+    """The full serving forward (vmapped stacked side lifters, 7 res
+    blocks deep) stays close to f32 under w8a8 — the PERF.md accuracy
+    claim at unit-test scale."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(k1, 11, hidden=HID),
+        models.init_lifter(k2, 11, hidden=HID),
+    )
+    qstacked = quantize_params(stacked)
+    assert qstacked["upscale"]["w_q"].shape == (2, 22, HID)
+    assert qstacked["upscale"]["w_scale"].shape == (2, 1, HID)
+
+    p = rng.normal(size=(32, 2, 17)).astype(np.float32) * 0.1
+    p[:, :, 0] = 0.0
+    poses = jnp.asarray(p.reshape(32, 34))
+
+    exact = np.asarray(jax.jit(lift_left_right_eval)(stacked, poses))
+    quant = np.asarray(jax.jit(lift_left_right_eval)(qstacked, poses))
+    assert quant.shape == (32, 51)
+    rel = np.linalg.norm(quant - exact) / np.linalg.norm(exact)
+    assert rel < 0.02, rel
+
+
+def test_quantized_completers_apply(rng):
+    """The stage-4 completer stack serves quantized too (the --scenario
+    infill path loads it through the same dispatch)."""
+    from links_tpu.models.completers import completer_apply
+
+    comps = models.init_all_completers(jax.random.PRNGKey(3), hidden=HID)
+    qcomps = quantize_params(comps)
+    x = jnp.asarray(rng.normal(size=(8, 33)).astype(np.float32) * 0.1)
+    exact = np.asarray(completer_apply(comps["left_side"], x))
+    quant = np.asarray(completer_apply(qcomps["left_side"], x))
+    rel = np.linalg.norm(quant - exact) / max(np.linalg.norm(exact), 1e-9)
+    assert rel < 0.05, rel
