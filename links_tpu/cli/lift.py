@@ -65,26 +65,20 @@ def _chunked(fn, poses_2d: np.ndarray, batch: int) -> np.ndarray:
     return np.concatenate(outs)[:n]
 
 
-def main(argv=None):
+def add_serving_flags(parser):
+    """The model-selection flags shared by links-lift and links-serve
+    (build_serving_fn consumes exactly these plus the common/ckpt flags)."""
     from links_tpu.objectives import occlusion as occ
 
-    parser = argparse.ArgumentParser(
-        description="Batch 2D→3D pose lifting (serving path)")
     parser.add_argument("--mode", choices=["left_right", "leg_torso"],
                         default="left_right")
     parser.add_argument("--choice", choices=["left", "right"], default="right")
     parser.add_argument("--depth", type=float, default=10.0)
-    parser.add_argument("--raw-2d", default=None,
-                        help=".npy/.npz of normalized (N,34) 2D poses; "
-                             "bypasses the dataset loader")
     parser.add_argument("--scenario", default=None,
                         choices=sorted(occ.DROPOUT_SCENARIO_JOINTS),
                         help="occluded-limb scenario: zero its 2D keypoints, "
                              "lift the visible part and infill the missing "
                              "3D joints with the stage-4 completers")
-    parser.add_argument("--out", required=True, help="output .npz path")
-    parser.add_argument("--limit", type=int, default=None,
-                        help="lift only the first N poses")
     parser.add_argument("--fused", action="store_true",
                         help="left_right mode: run both side lifters as one "
                              "fused Pallas kernel (bf16 multiplies, chunked "
@@ -96,29 +90,19 @@ def main(argv=None):
                              "rate path with dynamic per-row activation "
                              "scales (ops/quant.py; accuracy delta in "
                              "PERF.md 'Int8 serving')")
-    C.add_common_flags(parser)
-    C.add_lr_pt_flags(parser)
-    C.add_use_best_flag(parser)
-    args = parser.parse_args(argv)
-    C.maybe_init_distributed(args)
 
+
+def build_serving_fn(args, batch: int):
+    """Construct the jitted serving forward the CLI flags describe and the
+    effective per-call batch cap: plain left_right / leg_torso lifting, the
+    --scenario completer-infill program, --quant int8 weights, or the
+    --fused Pallas kernel. Shared by links-lift and links-serve."""
     from links_tpu.ckpt import load_lifter_pt
     from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
+    from links_tpu.objectives import occlusion as occ
 
     def _name(base):
         return base + C.best_suffix(args, base)
-
-    if args.raw_2d:
-        poses_2d = _load_raw_2d(args.raw_2d)
-    else:
-        test_data = C.load_test(args)
-        poses_2d = np.asarray(test_data.poses_2d)
-    if args.limit:
-        poses_2d = poses_2d[: args.limit]
-    n = poses_2d.shape[0]
-    if n == 0:
-        raise SystemExit("no poses to lift: the input is empty")
-    batch = min(args.batch_size or 256, n)
 
     if args.fused and (args.scenario or args.mode != "left_right"):
         raise SystemExit(
@@ -174,6 +158,38 @@ def main(argv=None):
                                            pt_loader=load_lifter_pt))
         _lift = jax.jit(lift_leg_torso_eval, static_argnums=(3,))
         fn = lambda p2d: _lift(legs, torso, p2d, args.depth)
+    return fn, batch
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Batch 2D→3D pose lifting (serving path)")
+    add_serving_flags(parser)
+    parser.add_argument("--raw-2d", default=None,
+                        help=".npy/.npz of normalized (N,34) 2D poses; "
+                             "bypasses the dataset loader")
+    parser.add_argument("--out", required=True, help="output .npz path")
+    parser.add_argument("--limit", type=int, default=None,
+                        help="lift only the first N poses")
+    C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
+    args = parser.parse_args(argv)
+    C.maybe_init_distributed(args)
+
+    if args.raw_2d:
+        poses_2d = _load_raw_2d(args.raw_2d)
+    else:
+        test_data = C.load_test(args)
+        poses_2d = np.asarray(test_data.poses_2d)
+    if args.limit:
+        poses_2d = poses_2d[: args.limit]
+    n = poses_2d.shape[0]
+    if n == 0:
+        raise SystemExit("no poses to lift: the input is empty")
+    batch = min(args.batch_size or 256, n)
+
+    fn, batch = build_serving_fn(args, batch)
 
     _chunked(fn, poses_2d[:batch], batch)  # warm the executable
     t0 = time.perf_counter()

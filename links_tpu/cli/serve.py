@@ -1,0 +1,171 @@
+"""``links-serve`` — a stdlib-only HTTP serving daemon for 2D→3D lifting.
+
+The reference has no serving story (prediction is matplotlib-bound,
+h36m_prediction_visualiser.py:244-320). ``links-lift`` is the batch CLI;
+this daemon is its long-running counterpart: load the model ONCE — either
+a ``links-export`` StableHLO artifact (``--artifact``, the deployment
+path: no checkpoints or model code needed) or checkpoints via the exact
+``links-lift`` flags — then answer requests over HTTP.
+
+Endpoints:
+
+* ``POST /lift`` — body either JSON ``{"poses_2d": [[34 floats], ...]}``
+  or a raw ``.npy`` (Content-Type ``application/octet-stream``) of
+  normalized (N, 34) or (N, 2, 17) poses. Response JSON:
+  ``{"poses_3d": [[[3×17]]...], "count": N, "ms": t}``.
+* ``GET /healthz`` — liveness + model metadata + request/pose counters.
+
+Serving discipline (the XLA requirement): requests are padded to one
+fixed chunk shape so every call hits the single compiled executable —
+the same discipline as links-lift's batch path — and device execution is
+serialized behind a lock (one chip, one queue; HTTP threads only overlap
+on IO/parse). The first request after start is the compile; ``--warmup``
+(default on) pays it at startup instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from links_tpu.cli import _common as C
+from links_tpu.cli.lift import _chunked, add_serving_flags, build_serving_fn
+
+MAX_BODY = 256 * 1024 * 1024  # 256 MB ≈ 2M poses — refuse anything larger
+
+
+def _parse_poses(body: bytes, content_type: str) -> np.ndarray:
+    if content_type.startswith("application/octet-stream"):
+        arr = np.load(io.BytesIO(body), allow_pickle=False)
+    else:
+        payload = json.loads(body.decode("utf-8"))
+        if not isinstance(payload, dict) or "poses_2d" not in payload:
+            raise ValueError('JSON body must be {"poses_2d": [[...], ...]}')
+        arr = np.asarray(payload["poses_2d"], np.float32)
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 1 and arr.size == 34:
+        arr = arr[None]
+    if arr.ndim == 3 and arr.shape[1:] == (2, 17):
+        arr = arr.reshape(-1, 34)
+    if arr.ndim != 2 or arr.shape[1] != 34 or arr.shape[0] == 0:
+        raise ValueError(
+            f"poses_2d must be non-empty (N, 34) or (N, 2, 17) normalized "
+            f"2D poses, got {arr.shape}")
+    return arr
+
+
+def make_server(args) -> ThreadingHTTPServer:
+    """Build the HTTP server with the model loaded and (optionally)
+    warmed. Separated from main() so tests can bind port 0 and drive it
+    in-process."""
+    batch = args.batch_size or 256
+    if args.artifact:
+        from links_tpu import ckpt
+
+        served = ckpt.load_exported(args.artifact)
+        info = ckpt.exported_info(args.artifact)
+        fn = served
+        model_desc = {"artifact": args.artifact,
+                      "platforms": info["platforms"]}
+    else:
+        fn, batch = build_serving_fn(args, batch)
+        model_desc = {"mode": args.mode, "scenario": args.scenario,
+                      "quant": args.quant, "model_dir": args.model_dir}
+
+    lock = threading.Lock()
+    stats = {"requests": 0, "poses": 0, "errors": 0, "started": time.time()}
+
+    if args.warmup:
+        probe = np.zeros((batch, 34), np.float32)
+        _chunked(fn, probe, batch)
+
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; --verbose restores per-request stderr lines
+        def log_message(self, fmt, *log_args):
+            if args.verbose:
+                BaseHTTPRequestHandler.log_message(self, fmt, *log_args)
+
+        def _reply(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path not in ("/healthz", "/"):
+                return self._reply(404, {"error": f"no route {self.path}"})
+            self._reply(200, {"ok": True, "model": model_desc,
+                              "batch": batch, **stats})
+
+        def do_POST(self):
+            if self.path != "/lift":
+                return self._reply(404, {"error": f"no route {self.path}"})
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if not 0 < length <= MAX_BODY:
+                    raise ValueError(
+                        f"Content-Length must be in (0, {MAX_BODY}]")
+                poses = _parse_poses(
+                    self.rfile.read(length),
+                    self.headers.get("Content-Type", "application/json"))
+            except Exception as e:  # malformed input → 400, not a crash
+                stats["errors"] += 1
+                return self._reply(400, {"error": str(e)})
+            t0 = time.perf_counter()
+            with lock:  # one chip: serialize device execution
+                pred = _chunked(fn, poses, batch)
+            ms = (time.perf_counter() - t0) * 1e3
+            n = poses.shape[0]
+            stats["requests"] += 1
+            stats["poses"] += n
+            self._reply(200, {
+                "poses_3d": pred.reshape(n, 3, 17).tolist(),
+                "count": n, "ms": round(ms, 3),
+            })
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    server.links_model_desc = model_desc  # introspection for main()/tests
+    return server
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="HTTP serving daemon for 2D→3D pose lifting")
+    parser.add_argument("--artifact", default=None,
+                        help="serve a links-export StableHLO artifact "
+                             "instead of loading checkpoints")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8321)
+    parser.add_argument("--no-warmup", dest="warmup", action="store_false",
+                        help="skip the startup compile (first request "
+                             "pays it instead)")
+    parser.add_argument("--verbose", action="store_true",
+                        help="per-request access log on stderr")
+    add_serving_flags(parser)
+    C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
+    args = parser.parse_args(argv)
+
+    server = make_server(args)
+    host, port = server.server_address[:2]
+    print(json.dumps({"serving": f"http://{host}:{port}",
+                      "model": server.links_model_desc}), flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,125 @@
+"""links-serve HTTP daemon: artifact serving, JSON/npy request parsing,
+health endpoint, error handling."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from links_tpu import ckpt, models
+from links_tpu.objectives import lift_left_right_eval
+
+HID = 32
+
+
+def _make_artifact(tmp_path):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(k1, 11, hidden=HID),
+        models.init_lifter(k2, 11, hidden=HID),
+    )
+
+    def fwd(p2d):
+        return lift_left_right_eval(stacked, p2d, 10.0, "right")
+
+    out = tmp_path / "lr.stablehlo"
+    ckpt.export_serving(fwd, str(out), platforms=("cpu",))
+    return str(out), fwd
+
+
+@pytest.fixture()
+def server(tmp_path):
+    import argparse
+
+    from links_tpu.cli import _common as C
+    from links_tpu.cli.lift import add_serving_flags
+    from links_tpu.cli.serve import make_server as mk
+
+    artifact, fwd = _make_artifact(tmp_path)
+    # parse defaults through the real CLI flag set, binding an ephemeral port
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--artifact", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--no-warmup", dest="warmup", action="store_false")
+    parser.add_argument("--verbose", action="store_true")
+    add_serving_flags(parser)
+    C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
+    args = parser.parse_args(["--artifact", artifact])
+
+    srv = mk(args)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    try:
+        yield f"http://{host}:{port}", fwd
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
+def _post(url, data: bytes, content_type: str):
+    req = urllib.request.Request(url, data=data,
+                                 headers={"Content-Type": content_type})
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_serve_artifact_json_and_npy(server, rng):
+    base, fwd = server
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["ok"] and "artifact" in health["model"]
+
+    poses = rng.normal(size=(5, 34)).astype(np.float32) * 0.1
+    poses[:, 0] = 0.0
+    want = np.asarray(jax.jit(fwd)(jnp.asarray(poses))).reshape(5, 3, 17)
+
+    # JSON request
+    out = _post(base + "/lift",
+                json.dumps({"poses_2d": poses.tolist()}).encode(),
+                "application/json")
+    assert out["count"] == 5 and out["ms"] >= 0
+    np.testing.assert_allclose(np.asarray(out["poses_3d"], np.float32),
+                               want, rtol=1e-4, atol=1e-5)
+
+    # raw .npy request, (N, 2, 17) layout accepted too
+    buf = io.BytesIO()
+    np.save(buf, poses.reshape(5, 2, 17))
+    out2 = _post(base + "/lift", buf.getvalue(), "application/octet-stream")
+    np.testing.assert_allclose(np.asarray(out2["poses_3d"], np.float32),
+                               want, rtol=1e-4, atol=1e-5)
+
+    # counters advanced
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["requests"] == 2 and health["poses"] == 10
+
+
+def test_serve_rejects_bad_input(server):
+    base, _ = server
+    # wrong shape → 400 with a message, server stays alive
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(base + "/lift",
+              json.dumps({"poses_2d": [[1.0, 2.0]]}).encode(),
+              "application/json")
+    assert exc.value.code == 400
+    assert "poses_2d" in json.loads(exc.value.read())["error"]
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(base + "/nope", b"{}", "application/json")
+    assert exc.value.code == 404
+
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        assert json.loads(resp.read())["errors"] == 1
