@@ -216,7 +216,8 @@ def _measure_stage4(batch: int = BATCH) -> float:
     return _bench_epochs(step, completers, optimizer, batch)
 
 
-def _measure_serving(batch: int, quant: str | None = None) -> tuple[float, float]:
+def _measure_serving(batch: int, quant: str | None = None,
+                     policy: str = "f32") -> tuple[float, float]:
     """Inference serving numbers for the left/right lifting forward (the
     `links-lift` CLI's jitted program, cli/lift.py): returns
     (per-call latency ms, poses/s) at a fixed batch size. ``quant='int8'``
@@ -238,6 +239,9 @@ def _measure_serving(batch: int, quant: str | None = None) -> tuple[float, float
         from links_tpu.ops.quant import quantize_params
 
         stacked = quantize_params(stacked)
+    from links_tpu.core import nn
+
+    pol = nn.BF16 if policy == "bf16" else nn.F32
     poses = jax.random.normal(keys[2], (batch, 34), jnp.float32) * 0.1
     poses = poses.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
 
@@ -248,7 +252,7 @@ def _measure_serving(batch: int, quant: str | None = None) -> tuple[float, float
     # measures true execution cost.
     @jax.jit
     def chain(p):
-        out = lift_left_right_eval(stacked, p, 10.0, "right")
+        out = lift_left_right_eval(stacked, p, 10.0, "right", pol)
         return jnp.tanh(out[:, :34]) * 0.1  # bounded (B, 34) pseudo-input
 
     o = chain(poses)
@@ -370,9 +374,17 @@ def main(argv=None):
                 "value": round(ms, 3), "unit": "ms",
                 "poses_per_sec": round(pps, 1),
             }))
-        # int8 serving (links-lift --quant int8): weight HBM traffic /4,
-        # s8xs8->s32 MXU at 2x the bf16 rate — visible where the tunneled
-        # chip's fixed program floor stops dominating (large batch)
+        # bf16 serving (links-lift --policy bf16): 2.3x the f32 MXU rate
+        # at large batch; and int8 (--quant int8): weight HBM traffic /4 +
+        # s8 dot. Both only visible past the tunneled chip's fixed program
+        # floor (PERF.md "Int8 serving" has the regime table).
+        for batch in (256, 4096, 16384):
+            ms, pps = _measure_serving(batch, policy="bf16")
+            print(json.dumps({
+                "metric": f"serve_left_right_batch{batch}_bf16_latency",
+                "value": round(ms, 3), "unit": "ms",
+                "poses_per_sec": round(pps, 1),
+            }))
         for batch in (256, 4096, 16384):
             ms, pps = _measure_serving(batch, quant="int8")
             print(json.dumps({

@@ -41,6 +41,9 @@ def main(argv=None):
                         help="evaluate with int8-quantized serving weights "
                              "(ops/quant.py) — measures the accuracy cost "
                              "of links-lift/links-export --quant int8")
+    parser.add_argument("--policy", choices=["f32", "bf16"], default="f32",
+                        help="lifting matmul dtype — measures the accuracy "
+                             "cost of serving with --policy bf16")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -62,19 +65,23 @@ def main(argv=None):
             return quantize_params(tree)
         return tree
 
+    from links_tpu.core import nn
+
+    policy = nn.BF16 if args.policy == "bf16" else nn.F32
+
     results = {}
     if args.mode == "left_right":
         stacked = _maybe_quant(C.load_stacked_lr(args))
-        pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3))(
-            stacked, test2d, args.depth, args.choice
+        pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3, 4))(
+            stacked, test2d, args.depth, args.choice, policy
         )
     else:
         legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
                                           pt_loader=load_lifter_pt))
         torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
                                            pt_loader=load_lifter_pt))
-        pred = jax.jit(lift_leg_torso_eval, static_argnums=(3,))(
-            legs, torso, test2d, args.depth
+        pred = jax.jit(lift_leg_torso_eval, static_argnums=(3, 4))(
+            legs, torso, test2d, args.depth, policy
         )
 
     @jax.jit

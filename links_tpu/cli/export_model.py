@@ -58,6 +58,9 @@ def main(argv=None):
     parser.add_argument("--quant", choices=["int8"], default=None,
                         help="embed int8-quantized weights (ops/quant.py): "
                              "~4x smaller artifact, s8xs8->s32 MXU serving")
+    parser.add_argument("--policy", choices=["f32", "bf16"], default="f32",
+                        help="matmul dtype baked into the artifact (bf16 "
+                             "multiplies / f32 accumulation; PERF.md)")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -82,6 +85,10 @@ def main(argv=None):
             return quantize_params(tree)
         return tree
 
+    from links_tpu.core import nn
+
+    policy = nn.BF16 if args.policy == "bf16" else nn.F32
+
     # Weights close over the exported fn on purpose: jax.export embeds
     # them as StableHLO constants — the artifact must be self-contained.
     # (This is the opposite discipline from live jit, where closure
@@ -95,14 +102,15 @@ def main(argv=None):
         def fwd(p2d):
             occluded = occ.drop_keypoints(p2d, joints)
             poses = occ.occlusion_validation_poses(
-                completers, lifters, occluded, args.depth,
+                completers, lifters, occluded, args.depth, policy=policy,
                 scenarios=(scenario,))[scenario]
             return poses.reshape(p2d.shape[0], 51)
     elif args.mode == "left_right":
         stacked = _maybe_quant(C.load_stacked_lr(args))
 
         def fwd(p2d):
-            return lift_left_right_eval(stacked, p2d, args.depth, args.choice)
+            return lift_left_right_eval(stacked, p2d, args.depth, args.choice,
+                                        policy)
     else:
         legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
                                           pt_loader=ckpt.load_lifter_pt))
@@ -110,7 +118,7 @@ def main(argv=None):
                                            pt_loader=ckpt.load_lifter_pt))
 
         def fwd(p2d):
-            return lift_leg_torso_eval(legs, torso, p2d, args.depth)
+            return lift_leg_torso_eval(legs, torso, p2d, args.depth, policy)
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     exp, nbytes = ckpt.export_serving(
@@ -132,6 +140,7 @@ def main(argv=None):
         "out": args.out, "bytes": nbytes, "platforms": list(platforms),
         "batch": args.batch if args.batch else "symbolic",
         "mode": args.mode, "scenario": args.scenario, "quant": args.quant,
+        "policy": args.policy,
         "outputs": [str(a) for a in exp.out_avals], "verified": verified,
     }
     print(json.dumps(summary))

@@ -90,6 +90,12 @@ def add_serving_flags(parser):
                              "rate path with dynamic per-row activation "
                              "scales (ops/quant.py; accuracy delta in "
                              "PERF.md 'Int8 serving')")
+    parser.add_argument("--policy", choices=["f32", "bf16"], default="f32",
+                        help="serving matmul dtype: bf16 multiplies (f32 "
+                             "accumulation) run 2.3x faster than f32 on "
+                             "the MXU at large batch for ~1e-3 relative "
+                             "error (PERF.md); default stays the eval-"
+                             "parity f32")
 
 
 def build_serving_fn(args, batch: int):
@@ -119,6 +125,10 @@ def build_serving_fn(args, batch: int):
             return quantize_params(tree)
         return tree
 
+    from links_tpu.core import nn
+
+    policy = nn.BF16 if getattr(args, "policy", "f32") == "bf16" else nn.F32
+
     if args.scenario:
         # occluded serving path: lifters that never see the dropped joints
         # + completer infill (dropout_eval_poses semantics, single scenario)
@@ -132,7 +142,7 @@ def build_serving_fn(args, batch: int):
         def _infill(cs, ls, p2d):
             occluded = occ.drop_keypoints(p2d, joints)
             return occ.occlusion_validation_poses(
-                cs, ls, occluded, args.depth,
+                cs, ls, occluded, args.depth, policy=policy,
                 scenarios=(args.scenario,))[args.scenario]
 
         fn = lambda p2d: _infill(completers, lifters, p2d)
@@ -149,15 +159,16 @@ def build_serving_fn(args, batch: int):
                 prep, p2d, args.depth, args.choice)
             batch = min(batch, 512)  # the kernel's latency-regime cap
         else:
-            _lift = jax.jit(lift_left_right_eval, static_argnums=(2, 3))
-            fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice)
+            _lift = jax.jit(lift_left_right_eval, static_argnums=(2, 3, 4))
+            fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice,
+                                   policy)
     else:
         legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
                                           pt_loader=load_lifter_pt))
         torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
                                            pt_loader=load_lifter_pt))
-        _lift = jax.jit(lift_leg_torso_eval, static_argnums=(3,))
-        fn = lambda p2d: _lift(legs, torso, p2d, args.depth)
+        _lift = jax.jit(lift_leg_torso_eval, static_argnums=(3, 4))
+        fn = lambda p2d: _lift(legs, torso, p2d, args.depth, policy)
     return fn, batch
 
 

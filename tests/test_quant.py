@@ -80,6 +80,28 @@ def test_quantized_lifter_forward_close_to_f32(rng):
     assert rel < 0.02, rel
 
 
+def test_bf16_policy_close_to_f32(rng):
+    """--policy bf16 (serving CLIs): bf16 multiplies / f32 accumulation
+    must stay within bf16 rounding of the f32 forward — the 'free' half
+    of the PERF.md serving-dtype matrix."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(k1, 11, hidden=HID),
+        models.init_lifter(k2, 11, hidden=HID),
+    )
+    p = rng.normal(size=(16, 2, 17)).astype(np.float32) * 0.1
+    p[:, :, 0] = 0.0
+    poses = jnp.asarray(p.reshape(16, 34))
+    f32 = np.asarray(jax.jit(lift_left_right_eval, static_argnums=(2, 3, 4))(
+        stacked, poses, 10.0, "right", nn.F32))
+    bf16 = np.asarray(jax.jit(lift_left_right_eval, static_argnums=(2, 3, 4))(
+        stacked, poses, 10.0, "right", nn.BF16))
+    assert not np.array_equal(f32, bf16)  # the policy genuinely applied
+    rel = np.linalg.norm(bf16 - f32) / np.linalg.norm(f32)
+    assert rel < 5e-3, rel
+
+
 def test_quantized_completers_apply(rng):
     """The stage-4 completer stack serves quantized too (the --scenario
     infill path loads it through the same dispatch)."""
