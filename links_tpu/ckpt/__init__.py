@@ -1,4 +1,5 @@
 from links_tpu.ckpt.export_io import (  # noqa: F401
+    deserialize_exported,
     export_serving,
     exported_info,
     load_exported,

@@ -77,6 +77,14 @@ def export_serving(
     return exp, len(data)
 
 
+def deserialize_exported(path: str):
+    """Deserialize a serving artifact to the full ``jax.export.Exported``
+    (``.call``, ``.platforms``, ``.in_avals`` — one read, one deserialize;
+    links-serve uses this to avoid loading the multi-MB file twice)."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
 def load_exported(path: str) -> Callable:
     """Deserialize a serving artifact into a plain callable.
 
@@ -85,9 +93,7 @@ def load_exported(path: str) -> Callable:
     embedded StableHLO on the current default JAX platform, which must be
     one of the platforms the artifact was lowered for.
     """
-    with open(path, "rb") as f:
-        exp = jax_export.deserialize(f.read())
-    return exp.call
+    return deserialize_exported(path).call
 
 
 def exported_info(path: str) -> dict:

@@ -609,3 +609,20 @@ def maybe_init_distributed(args):
 
 def key_from_seed(seed: int):
     return jax.random.PRNGKey(seed)
+
+
+def serving_policy(args):
+    """The nn.Policy the --policy flag names (serving CLIs + bench)."""
+    from links_tpu.core import nn
+
+    return nn.BF16 if getattr(args, "policy", "f32") == "bf16" else nn.F32
+
+
+def maybe_quantize(tree, args):
+    """Apply the --quant flag to a loaded param tree (serving CLIs): int8
+    post-training quantization via ops/quant.py, or pass-through."""
+    if getattr(args, "quant", None) == "int8":
+        from links_tpu.ops.quant import quantize_params
+
+        return quantize_params(tree)
+    return tree

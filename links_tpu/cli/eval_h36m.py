@@ -58,16 +58,8 @@ def main(argv=None):
 
     from links_tpu.ckpt import load_lifter_pt
 
-    def _maybe_quant(tree):
-        if args.quant == "int8":
-            from links_tpu.ops.quant import quantize_params
-
-            return quantize_params(tree)
-        return tree
-
-    from links_tpu.core import nn
-
-    policy = nn.BF16 if args.policy == "bf16" else nn.F32
+    _maybe_quant = lambda tree: C.maybe_quantize(tree, args)
+    policy = C.serving_policy(args)
 
     results = {}
     if args.mode == "left_right":
@@ -117,7 +109,8 @@ def main(argv=None):
         def _dropout_metrics(cs, ls, gt, p2d):
             out = {}
             for name, (rec, naive) in occ.dropout_eval_poses(
-                    cs, ls, p2d, args.depth, choice=args.choice).items():
+                    cs, ls, p2d, args.depth, choice=args.choice,
+                    policy=policy).items():
                 out[f"dropout_pa_{name}"] = metrics.pa_mpjpe(gt, rec).mean()
                 out[f"dropout_naive_pa_{name}"] = metrics.pa_mpjpe(gt, naive).mean()
             return out
@@ -132,7 +125,8 @@ def main(argv=None):
         # baked into the HLO as constants and stall compilation
         @jax.jit
         def _occ_metrics(cs, ls, gt, p2d):
-            poses = occ.occlusion_validation_poses(cs, ls, p2d, args.depth)
+            poses = occ.occlusion_validation_poses(cs, ls, p2d, args.depth,
+                                                   policy=policy)
             out = {}
             for name, p in poses.items():
                 out[f"pa_{name}"] = metrics.pa_mpjpe(gt, p).mean()

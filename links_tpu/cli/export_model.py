@@ -35,14 +35,11 @@ def main(argv=None):
     from links_tpu import ckpt
     from links_tpu.objectives import occlusion as occ
 
+    from links_tpu.cli.lift import add_serving_flags
+
     parser = argparse.ArgumentParser(
         description="Export a serving forward as serialized StableHLO")
-    parser.add_argument("--mode", choices=["left_right", "leg_torso"],
-                        default="left_right")
-    parser.add_argument("--choice", choices=["left", "right"], default="right")
-    parser.add_argument("--depth", type=float, default=10.0)
-    parser.add_argument("--scenario", default=None,
-                        choices=sorted(occ.DROPOUT_SCENARIO_JOINTS))
+    add_serving_flags(parser)
     parser.add_argument("--out", default=None,
                         help="artifact path (required unless --inspect)")
     parser.add_argument("--batch", type=int, default=None,
@@ -55,12 +52,6 @@ def main(argv=None):
                         help="skip the deserialize-and-compare round trip")
     parser.add_argument("--inspect", metavar="ARTIFACT", default=None,
                         help="print an existing artifact's metadata and exit")
-    parser.add_argument("--quant", choices=["int8"], default=None,
-                        help="embed int8-quantized weights (ops/quant.py): "
-                             "~4x smaller artifact, s8xs8->s32 MXU serving")
-    parser.add_argument("--policy", choices=["f32", "bf16"], default="f32",
-                        help="matmul dtype baked into the artifact (bf16 "
-                             "multiplies / f32 accumulation; PERF.md)")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
     C.add_use_best_flag(parser)
@@ -72,22 +63,18 @@ def main(argv=None):
         return info
     if not args.out:
         raise SystemExit("--out is required (or use --inspect)")
+    if args.fused:
+        raise SystemExit("--fused is a live-serving option (links-lift); "
+                         "Pallas kernels are not exported through "
+                         "jax.export — use the XLA path for artifacts")
 
     from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
 
     def _name(base):
         return base + C.best_suffix(args, base)
 
-    def _maybe_quant(tree):
-        if args.quant == "int8":
-            from links_tpu.ops.quant import quantize_params
-
-            return quantize_params(tree)
-        return tree
-
-    from links_tpu.core import nn
-
-    policy = nn.BF16 if args.policy == "bf16" else nn.F32
+    _maybe_quant = lambda tree: C.maybe_quantize(tree, args)
+    policy = C.serving_policy(args)
 
     # Weights close over the exported fn on purpose: jax.export embeds
     # them as StableHLO constants — the artifact must be self-contained.

@@ -118,16 +118,8 @@ def build_serving_fn(args, batch: int):
         raise SystemExit("--fused and --quant are mutually exclusive "
                          "(the Pallas kernel multiplies in bf16)")
 
-    def _maybe_quant(tree):
-        if args.quant == "int8":
-            from links_tpu.ops.quant import quantize_params
-
-            return quantize_params(tree)
-        return tree
-
-    from links_tpu.core import nn
-
-    policy = nn.BF16 if getattr(args, "policy", "f32") == "bf16" else nn.F32
+    _maybe_quant = lambda tree: C.maybe_quantize(tree, args)
+    policy = C.serving_policy(args)
 
     if args.scenario:
         # occluded serving path: lifters that never see the dropped joints

@@ -68,11 +68,14 @@ def make_server(args) -> ThreadingHTTPServer:
     if args.artifact:
         from links_tpu import ckpt
 
-        served = ckpt.load_exported(args.artifact)
-        info = ckpt.exported_info(args.artifact)
-        fn = served
+        exp = ckpt.deserialize_exported(args.artifact)
+        fn = exp.call
+        dim0 = exp.in_avals[0].shape[0]
+        if isinstance(dim0, int):
+            batch = dim0  # fixed-batch artifact: chunk at its pinned shape
         model_desc = {"artifact": args.artifact,
-                      "platforms": info["platforms"]}
+                      "platforms": list(exp.platforms),
+                      "inputs": [str(a) for a in exp.in_avals]}
     else:
         fn, batch = build_serving_fn(args, batch)
         model_desc = {"mode": args.mode, "scenario": args.scenario,
@@ -102,8 +105,10 @@ def make_server(args) -> ThreadingHTTPServer:
         def do_GET(self):
             if self.path not in ("/healthz", "/"):
                 return self._reply(404, {"error": f"no route {self.path}"})
+            with lock:
+                snap = dict(stats)
             self._reply(200, {"ok": True, "model": model_desc,
-                              "batch": batch, **stats})
+                              "batch": batch, **snap})
 
         def do_POST(self):
             if self.path != "/lift":
@@ -117,15 +122,22 @@ def make_server(args) -> ThreadingHTTPServer:
                     self.rfile.read(length),
                     self.headers.get("Content-Type", "application/json"))
             except Exception as e:  # malformed input → 400, not a crash
-                stats["errors"] += 1
+                with lock:
+                    stats["errors"] += 1
                 return self._reply(400, {"error": str(e)})
             t0 = time.perf_counter()
-            with lock:  # one chip: serialize device execution
-                pred = _chunked(fn, poses, batch)
+            try:
+                with lock:  # one chip: serialize device execution
+                    pred = _chunked(fn, poses, batch)
+            except Exception as e:  # model/runtime failure → 500 + alive
+                with lock:
+                    stats["errors"] += 1
+                return self._reply(500, {"error": f"{type(e).__name__}: {e}"})
             ms = (time.perf_counter() - t0) * 1e3
             n = poses.shape[0]
-            stats["requests"] += 1
-            stats["poses"] += n
+            with lock:  # ThreadingHTTPServer: counters need the lock too
+                stats["requests"] += 1
+                stats["poses"] += n
             self._reply(200, {
                 "poses_3d": pred.reshape(n, 3, 17).tolist(),
                 "count": n, "ms": round(ms, 3),

@@ -17,9 +17,13 @@ Scheme (standard symmetric post-training quantization):
   the f32 bias.
 
 Quantized params keep the pytree *structure* of the originals with each
-linear's ``w`` replaced by ``w_q``/``w_scale`` — ``nn.dense`` dispatches
-on that, so every apply function (lifters, completers, attention qkv)
-serves quantized weights unchanged. Training is untouched: nothing
+standard linear's ``w`` replaced by ``w_q``/``w_scale`` — ``nn.dense``
+dispatches on that, so every apply function serves quantized weights
+unchanged. Only plain ``nn.init_linear``-shaped weights (2-D, or 3-D
+from a vmap-stacked model pair) are converted; leaves with bespoke
+layouts that apply code reads directly — the attention lifter's 4-D
+``qkv`` tensor (models/attention.py:33-36) — pass through untouched and
+keep running in the float policy. Training is untouched: nothing
 produces quantized trees except this module, and gradients through them
 are unsupported by design.
 
@@ -54,7 +58,10 @@ def quantize_params(params):
     this package — single lifters, vmap-stacked pairs, the completer
     stack — because they all share ``nn.init_linear``'s layout."""
     if isinstance(params, dict):
-        if "w" in params and "b" in params and params["w"].ndim >= 2:
+        # only nn.init_linear layouts: (fan_in, fan_out) or one stacked
+        # leading axis. Bespoke tensors apply code indexes directly (the
+        # attention qkv's (D, 3, H, D/H)) must survive unchanged.
+        if set(params) == {"w", "b"} and getattr(params["w"], "ndim", 0) in (2, 3):
             return _quantize_linear(params)
         return {k: quantize_params(v) for k, v in params.items()}
     if isinstance(params, (list, tuple)):

@@ -82,6 +82,16 @@ def test_stage5_eval(workspace, capsys):
     # all 8 occlusion scenarios evaluated
     for name in ("la", "ra", "ll", "rl", "torso", "legs", "left", "right"):
         assert f"pa_{name}" in parsed
+
+    # the bf16 serving policy threads through the occlusion/dropout
+    # evaluations too (review fix: it was silently f32 there)
+    results_bf16 = main(_args(workspace, ["--json", "--occlusion",
+                                          "--dropout", "--policy", "bf16"]))
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed_bf16 = json.loads(out)
+    assert np.isfinite(parsed_bf16["pa_mpjpe"])
+    assert np.isfinite(parsed_bf16["pa_torso"])
+    assert np.isfinite(parsed_bf16["dropout_pa_torso"])
     # leg/torso eval path
     results_lt = main(_args(workspace, ["--mode", "leg_torso", "--json"]))
     assert np.isfinite(results_lt["pa_mpjpe"])

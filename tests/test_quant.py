@@ -80,6 +80,33 @@ def test_quantized_lifter_forward_close_to_f32(rng):
     assert rel < 0.02, rel
 
 
+def test_quantize_skips_attention_qkv(rng):
+    """The attention lifter's bespoke 4-D qkv tensor (read directly by
+    attention_lifter_apply, not through nn.dense) must survive
+    quantization untouched — and the quantized tree must still apply."""
+    from links_tpu.models.attention import init_attention_lifter
+    from links_tpu.models.lifters import lifter_apply
+
+    p = models_attention = init_attention_lifter(
+        jax.random.PRNGKey(6), 11, num_heads=2)
+    q = quantize_params(models_attention)
+    # qkv kept verbatim (4-D w indexed by shape in apply), pos kept
+    np.testing.assert_array_equal(np.asarray(q["qkv"]["w"]),
+                                  np.asarray(p["qkv"]["w"]))
+    assert q["qkv"]["w"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(q["pos"]), np.asarray(p["pos"]))
+    # standard linears did convert
+    assert q["proj"]["w_q"].dtype == jnp.int8
+    assert q["upscale"]["w_q"].dtype == jnp.int8
+
+    x = jnp.asarray(rng.normal(size=(4, 22)).astype(np.float32) * 0.1)
+    exact, _ = lifter_apply(p, x)
+    quant, _ = lifter_apply(q, x)
+    rel = np.linalg.norm(np.asarray(quant) - np.asarray(exact)) / max(
+        np.linalg.norm(np.asarray(exact)), 1e-9)
+    assert rel < 0.1, rel
+
+
 def test_bf16_policy_close_to_f32(rng):
     """--policy bf16 (serving CLIs): bf16 multiplies / f32 accumulation
     must stay within bf16 rounding of the f32 forward — the 'free' half

@@ -107,6 +107,62 @@ def test_serve_artifact_json_and_npy(server, rng):
     assert health["requests"] == 2 and health["poses"] == 10
 
 
+def test_serve_fixed_batch_artifact(tmp_path, rng):
+    """A fixed-batch artifact sets the server's chunk size from its
+    pinned input shape (no --batch-size guessing), and requests of any
+    size pad through it."""
+    import argparse
+
+    from links_tpu import models as M
+    from links_tpu.cli import _common as C
+    from links_tpu.cli.lift import add_serving_flags
+    from links_tpu.cli.serve import make_server
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        M.init_lifter(k1, 11, hidden=HID),
+        M.init_lifter(k2, 11, hidden=HID),
+    )
+
+    def fwd(p2d):
+        return lift_left_right_eval(stacked, p2d, 10.0, "right")
+
+    art = tmp_path / "fixed.stablehlo"
+    ckpt.export_serving(fwd, str(art), batch=8, platforms=("cpu",))
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--artifact", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=0)
+    parser.add_argument("--no-warmup", dest="warmup", action="store_false")
+    parser.add_argument("--verbose", action="store_true")
+    add_serving_flags(parser)
+    C.add_common_flags(parser)
+    C.add_lr_pt_flags(parser)
+    C.add_use_best_flag(parser)
+    args = parser.parse_args(["--artifact", str(art)])
+
+    srv = make_server(args)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    host, port = srv.server_address[:2]
+    base = f"http://{host}:{port}"
+    try:
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+            assert json.loads(resp.read())["batch"] == 8
+        poses = rng.normal(size=(5, 34)).astype(np.float32) * 0.1
+        out = _post(base + "/lift",
+                    json.dumps({"poses_2d": poses.tolist()}).encode(),
+                    "application/json")
+        assert out["count"] == 5
+        assert np.isfinite(np.asarray(out["poses_3d"], np.float32)).all()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        thread.join(timeout=5)
+
+
 def test_serve_rejects_bad_input(server):
     base, _ = server
     # wrong shape → 400 with a message, server stays alive
