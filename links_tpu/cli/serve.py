@@ -66,8 +66,20 @@ def make_server(args) -> ThreadingHTTPServer:
     in-process."""
     batch = args.batch_size or 256
     if args.artifact:
+        import sys
+
         from links_tpu import ckpt
 
+        ignored = [f for f, on in (
+            ("--scenario", args.scenario), ("--quant", args.quant),
+            ("--fused", args.fused),
+            ("--mode", args.mode != "left_right"),
+            ("--policy", getattr(args, "policy", "f32") != "f32"),
+        ) if on]
+        if ignored:
+            print(f"[links-serve] {' '.join(ignored)} ignored: the model "
+                  "is baked into the artifact at export time",
+                  file=sys.stderr)
         exp = ckpt.deserialize_exported(args.artifact)
         fn = exp.call
         dim0 = exp.in_avals[0].shape[0]
