@@ -352,3 +352,105 @@ def dp_tp_step(step_fn: Callable, mesh: Mesh, state_template):
         out_shardings=(state_sh, replicated(mesh)),
         donate_argnums=(0,),
     )
+
+
+# --------------------------------------------------------------------------
+# Pipeline parallelism (GPipe microbatching over a ('pipe',) mesh axis)
+#
+# The depth-scaling recipe, completing the portfolio (DP = batch, ZeRO =
+# optimizer state, TP = width, PP = depth). The reference's lifters are 8
+# res-blocks deep (models_def.py:65-107) — nowhere near needing PP — so,
+# like TP, this is the annotation-level recipe the framework scales deeper
+# trunks with, implemented the TPU way: a homogeneous res-block trunk's
+# stacked params shard over 'pipe' (stage s holds a contiguous depth slice),
+# microbatches stream through the stages inside ONE `lax.scan` device
+# program, and the only communication is a `ppermute` ring shift of the
+# (micro_batch, hidden) activation per tick — point-to-point on ICI.
+# Fill/drain bubbles are masked with `where`; every collective is explicit.
+# The whole schedule is differentiable (ppermute transposes to the inverse
+# permutation), so the same function serves training.
+
+
+def make_mesh_pipe(n_stages: int) -> Mesh:
+    devices = jax.devices()
+    assert len(devices) >= n_stages, \
+        f"need {n_stages} devices, have {len(devices)}"
+    return Mesh(np.array(devices[:n_stages]), ("pipe",))
+
+
+def stack_blocks(blocks: list):
+    """Stack a list of res-block param trees into one (depth, ...) tree —
+    the layout `pp_trunk_apply` shards over 'pipe'."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def _pp_stage(local_blocks, micro, n_stages: int, n_micro: int):
+    """Per-stage body run under shard_map: `local_blocks` is this stage's
+    (depth/S, ...) slice of the trunk, `micro` the replicated
+    (n_micro, micro_b, hidden) microbatch stack. Returns the trunk output
+    for every microbatch, replicated via a final psum (only the last
+    stage's buffer is nonzero)."""
+    from links_tpu.core import nn
+    from links_tpu.models.lifters import res_block_apply
+
+    sid = jax.lax.axis_index("pipe")
+    ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def run_local(h):
+        def body(h, blk):
+            return nn.leaky_relu(res_block_apply(blk, h)), None
+
+        return jax.lax.scan(body, h, local_blocks)[0]
+
+    def tick(carry, t):
+        state, out = carry
+        # stage 0 injects microbatch t (clipped reads past the end feed the
+        # drain ticks; their results never reach a valid write slot below)
+        inject = micro[jnp.clip(t, 0, n_micro - 1)]
+        h = run_local(jnp.where(sid == 0, inject, state))
+        # the last stage finishes microbatch t-(S-1) at tick t
+        widx = t - (n_stages - 1)
+        write = (sid == n_stages - 1) & (widx >= 0)
+        out = jnp.where(write,
+                        out.at[jnp.clip(widx, 0, n_micro - 1)].set(h),
+                        out)
+        state = jax.lax.ppermute(h, "pipe", ring)
+        return (state, out), None
+
+    # the carry is device-varying (each stage holds its own activation /
+    # output buffer); the zero init must be cast to varying to typecheck
+    init = jax.lax.pcast((jnp.zeros_like(micro[0]), jnp.zeros_like(micro)),
+                         ("pipe",), to="varying")
+    (_, out), _ = jax.lax.scan(tick, init,
+                               jnp.arange(n_micro + n_stages - 1))
+    return jax.lax.psum(out, "pipe")
+
+
+def pp_trunk_apply(blocks, x, mesh: Mesh, n_micro: int):
+    """GPipe forward of a depth-stacked res-block trunk.
+
+    ``blocks``: pytree with leading depth axis (see `stack_blocks`),
+    sharded over 'pipe' (depth % n_stages == 0). ``x``: (B, hidden) with
+    B % n_micro == 0. Numerically identical to the sequential
+    scan-over-depth apply (tests/test_parallel.py::test_pipeline_*).
+    """
+    n_stages = mesh.shape["pipe"]
+    depth = jax.tree.leaves(blocks)[0].shape[0]
+    assert depth % n_stages == 0, (depth, n_stages)
+    assert x.shape[0] % n_micro == 0, (x.shape, n_micro)
+    micro = x.reshape(n_micro, x.shape[0] // n_micro, x.shape[-1])
+    fwd = jax.shard_map(
+        lambda blk, m: _pp_stage(blk, m, n_stages, n_micro),
+        mesh=mesh,
+        in_specs=(P("pipe"), P()),
+        out_specs=P(),
+    )
+    out = fwd(blocks, micro)
+    return out.reshape(x.shape)
+
+
+def pp_trunk_sharding(mesh: Mesh, blocks):
+    """NamedSharding pytree placing a stacked trunk's depth axis over
+    'pipe' — stage s holds blocks [s·D/S, (s+1)·D/S) and nothing else."""
+    return jax.tree.map(
+        lambda _: NamedSharding(mesh, P("pipe")), blocks)
