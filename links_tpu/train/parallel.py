@@ -436,8 +436,14 @@ def pp_trunk_apply(blocks, x, mesh: Mesh, n_micro: int):
     """
     n_stages = mesh.shape["pipe"]
     depth = jax.tree.leaves(blocks)[0].shape[0]
-    assert depth % n_stages == 0, (depth, n_stages)
-    assert x.shape[0] % n_micro == 0, (x.shape, n_micro)
+    # user-input guards: ValueError, not assert (asserts vanish under -O
+    # and would let a ragged split silently produce wrong shapes)
+    if depth % n_stages != 0:
+        raise ValueError(
+            f"trunk depth {depth} not divisible by {n_stages} pipe stages")
+    if x.shape[0] % n_micro != 0:
+        raise ValueError(
+            f"batch {x.shape[0]} not divisible by n_micro={n_micro}")
     micro = x.reshape(n_micro, x.shape[0] // n_micro, x.shape[-1])
     fwd = jax.shard_map(
         lambda blk, m: _pp_stage(blk, m, n_stages, n_micro),

@@ -218,6 +218,49 @@ def test_zero_sharded_optimizer_matches_replicated(rng):
     assert shard0.data.size == mu.size // mesh.devices.size
 
 
+def test_full_width_dp_matches_single_device(rng):
+    """Full-width (hidden=1024) DP equality on a 2-device mesh (VERDICT r2
+    next #3): every other sharding test shrinks to hidden≤64 (an 8-device
+    full-width rendezvous times out XLA's CPU collectives on a 1-core
+    host), so before this test the production-width multi-device step had
+    never executed anywhere. Two devices rendezvous fine on one core;
+    sharding layout is width-independent in principle — this closes the
+    residual risk that it isn't in practice."""
+    cfg = LifterTrainConfig(bf16=False)
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(keys[0], 11),   # full width: models.HIDDEN=1024
+        models.init_lifter(keys[1], 11),
+    )
+    assert stacked["upscale"]["w"].shape == (2, 22, 1024)
+    frozen = LifterFrozen(
+        full_flow=flows.init_flow(keys[2], 34),  # full 1024-wide subnets
+        part_a=flows.init_flow(keys[3], 22),
+        part_b=flows.init_flow(keys[4], 22),
+    )
+    optimizer = train.make_optimizer(cfg.optim, 2)
+    step = train.build_left_right_step(frozen, optimizer, cfg)
+    state = train.init_state(stacked, optimizer)
+    batch = _poses(rng, 8)
+    key = jax.random.PRNGKey(17)
+
+    single_state, single_aux = jax.jit(step)(state, batch, key)
+
+    mesh = parallel.make_mesh(2)
+    assert mesh.devices.size == 2
+    dp_step = parallel.dp_jit_step(step, mesh)
+    dp_state, dp_aux = dp_step(parallel.replicate(state, mesh),
+                               parallel.shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(float(dp_aux["loss"]),
+                               float(single_aux["loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(single_state.params),
+                    jax.tree.leaves(dp_state.params)):
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+        assert rel < 1e-4, rel
+
+
 def test_dp_tp_matches_single_device(rng):
     """DP×TP on a (4, 2) ('data','model') mesh — weights Megatron-sharded
     over 'model' (tp_param_specs), batch over 'data' — is annotation-only:
@@ -335,5 +378,7 @@ def test_pipeline_single_microbatch_and_uneven_depth_guard(rng):
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(_sequential_trunk(blocks, x)),
                                rtol=1e-5, atol=1e-5)
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):
         parallel.pp_trunk_apply(_trunk(3, jax.random.PRNGKey(1)), x, mesh, 1)
+    with pytest.raises(ValueError):
+        parallel.pp_trunk_apply(blocks, x, mesh, n_micro=3)
