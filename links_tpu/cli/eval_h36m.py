@@ -21,6 +21,84 @@ from links_tpu.cli import _common as C
 from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
 
 
+def _eval_from_detections(args, occ, completers, lifters, policy):
+    """Occlusion recovery on the test split's GENUINELY missing detector
+    keypoints. Frames with a non-empty missing-joint set are assigned to
+    the smallest DROPOUT_SCENARIO_JOINTS scenario covering that set (frames
+    no scenario covers — e.g. root lost, or joints missing on both sides —
+    are counted as 'uncovered'); the scenario's completer infills the
+    missing 3D part and per-frame PA-MPJPE is compared against the naive
+    full lift of the same corrupted 2D. One jitted program computes all 8
+    scenarios' per-row errors over the full split; selection/averaging is
+    host-side so row counts per scenario stay out of the compiled shapes."""
+    import numpy as np
+
+    from links_tpu.data.datasets import read_pickle_cached
+
+    path, loader, _, test_s, test_norm, _ = C._split_spec(args)
+    d = read_pickle_cached(path)
+    if not all("poses_2d_pred" in d[s] for s in test_s):
+        raise SystemExit(f"{path} has no poses_2d_pred detector arrays")
+    raw2d = np.concatenate([np.asarray(d[s]["poses_2d_pred"]) for s in test_s])
+    missing = np.all(raw2d == 0.0, axis=2)  # (N, 17)
+
+    # normalized 2D over ALL frames (incl. incomplete), then re-zero the
+    # missing joints: root-centering/scaling must not leak a fake position
+    # for an undetected keypoint (drop_keypoints semantics)
+    ds_all = loader(path, test_s, normalize_func=test_norm, use_gt=False,
+                    complete_only=False)
+    p2d = np.asarray(ds_all.poses_2d).reshape(-1, 2, 17)
+    p2d = (p2d * ~missing[:, None, :]).reshape(-1, 34).astype(np.float32)
+    p3d = ds_all.poses_3d
+
+    @jax.jit
+    def _per_row(cs, ls, gt, p2d_in):
+        out = {}
+        for name, (rec, naive) in occ.dropout_eval_poses(
+                cs, ls, p2d_in, args.depth, choice=args.choice,
+                policy=policy).items():
+            out[name] = (metrics.pa_mpjpe(gt, rec),
+                         metrics.pa_mpjpe(gt, naive))
+        return out
+
+    pa = {k: (np.asarray(r), np.asarray(nv)) for k, (r, nv) in
+          _per_row(completers, lifters, p3d, jax.numpy.asarray(p2d)).items()}
+
+    # smallest covering scenario per frame
+    names = sorted(occ.DROPOUT_SCENARIO_JOINTS,
+                   key=lambda n: len(occ.DROPOUT_SCENARIO_JOINTS[n]))
+    jmasks = {n: np.isin(np.arange(17), occ.DROPOUT_SCENARIO_JOINTS[n])
+              for n in names}
+    incomplete = missing.any(axis=1)
+    assigned = np.full(missing.shape[0], "", dtype=object)
+    for n in names:
+        covers = incomplete & ~np.any(missing & ~jmasks[n][None], axis=1)
+        covers &= assigned == ""
+        assigned[covers] = n
+
+    out = {
+        "det_frames": int(missing.shape[0]),
+        "det_complete_frac": float(1.0 - incomplete.mean()),
+        "det_uncovered": int((incomplete & (assigned == "")).sum()),
+    }
+    for n in names:
+        sel = assigned == n
+        cnt = int(sel.sum())
+        out[f"det_n_{n}"] = cnt
+        if cnt:
+            out[f"det_pa_{n}"] = float(pa[n][0][sel].mean())
+            out[f"det_naive_pa_{n}"] = float(pa[n][1][sel].mean())
+    covered = incomplete & (assigned != "")
+    if covered.any():
+        out["det_pa_recovered_mean"] = float(np.mean(
+            [pa[n][0][i] for i, n in zip(np.where(covered)[0],
+                                         assigned[covered])]))
+        out["det_pa_naive_mean"] = float(np.mean(
+            [pa[n][1][i] for i, n in zip(np.where(covered)[0],
+                                         assigned[covered])]))
+    return out
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Evaluate on Human3.6M")
     parser.add_argument("--mode", choices=["left_right", "leg_torso"],
@@ -36,11 +114,27 @@ def main(argv=None):
                              "dropout: per scenario, zero the limb's "
                              "keypoints, recover via completers, and compare "
                              "against the naive no-completion lift")
+    parser.add_argument("--from-detections", action="store_true",
+                        help="evaluate occlusion recovery on the corpus's "
+                             "GENUINELY missing detector keypoints (needs "
+                             "--no-gt-2d and a pickle with poses_2d_pred): "
+                             "each incomplete test frame is assigned to the "
+                             "smallest occlusion scenario covering its "
+                             "missing-joint set, lifted from the visible "
+                             "part, completer-infilled, and compared "
+                             "against the naive full lift — the paper's "
+                             "partial-detection use case end to end "
+                             "(Supplementary PDF §1)")
     parser.add_argument("--json", action="store_true", help="emit one JSON line")
-    parser.add_argument("--quant", choices=["int8"], default=None,
+    parser.add_argument("--quant", choices=["int8", "int8-static"],
+                        default=None,
                         help="evaluate with int8-quantized serving weights "
                              "(ops/quant.py) — measures the accuracy cost "
-                             "of links-lift/links-export --quant int8")
+                             "of links-lift/links-export --quant int8 / "
+                             "int8-static (static per-tensor activation "
+                             "scales calibrated on --calib-rows train rows)")
+    parser.add_argument("--calib-rows", type=int, default=1024,
+                        help="train rows for int8-static calibration")
     parser.add_argument("--policy", choices=["f32", "bf16"], default="f32",
                         help="lifting matmul dtype — measures the accuracy "
                              "cost of serving with --policy bf16")
@@ -63,23 +157,36 @@ def main(argv=None):
 
     results = {}
     if args.mode == "left_right":
-        stacked = _maybe_quant(C.load_stacked_lr(args))
+        stacked = C.load_stacked_lr(args)
+        stacked = (C.static_quant_lr(args, stacked)
+                   if args.quant == "int8-static"
+                   else _maybe_quant(stacked))
         pred = jax.jit(lift_left_right_eval, static_argnums=(2, 3, 4))(
             stacked, test2d, args.depth, args.choice, policy
         )
     else:
-        legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
-                                          pt_loader=load_lifter_pt))
-        torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
-                                           pt_loader=load_lifter_pt))
+        legs = C.load_params(args, _name(C.LIFTER_LEGS),
+                             pt_loader=load_lifter_pt)
+        torso = C.load_params(args, _name(C.LIFTER_TORSO),
+                              pt_loader=load_lifter_pt)
+        if args.quant == "int8-static":
+            legs, torso = C.static_quant_leg_torso(args, legs, torso)
+        else:
+            legs, torso = _maybe_quant(legs), _maybe_quant(torso)
         pred = jax.jit(lift_leg_torso_eval, static_argnums=(3, 4))(
             legs, torso, test2d, args.depth, policy
         )
 
     @jax.jit
     def _all_metrics(gt, p):
+        ga = metrics.get_all(gt, p)
         return {
             "pa_mpjpe": metrics.pa_mpjpe(gt, p).mean(),  # protocol 2
+            # CPS pair: the reference's bug-compatible unaligned sweep and
+            # the corrected Procrustes-aligned variant (metrics.get_all;
+            # utils/metrics_batch.py:92's own TODO)
+            "cps": ga["CPS"],
+            "cps_correct": ga["CPS_correct"],
             # protocol 1: root-centered, unscaled (metrics_batch.mpjpe with
             # use_scaling=False). Predictions live in reconstruction space
             # (normalized 2D × depth), so this number is NOT millimetres
@@ -98,11 +205,19 @@ def main(argv=None):
         "normalized-2D x depth, GT units differ — use pa_mpjpe/n_mpjpe "
         "for scale-corrected errors)")
 
-    if args.occlusion or args.dropout:
+    if args.occlusion or args.dropout or args.from_detections:
         from links_tpu.objectives import occlusion as occ
 
         lifters = _maybe_quant(C.load_all_lifters(args))
         completers = _maybe_quant(C.load_params(args, _name(C.OCCLUSION)))
+
+    if args.from_detections:
+        if args.gt_2d:
+            raise SystemExit("--from-detections needs --no-gt-2d: it "
+                             "evaluates the detector corpus's genuinely "
+                             "missing keypoints")
+        results.update(_eval_from_detections(args, occ, completers, lifters,
+                                             policy))
 
     if args.dropout:
         @jax.jit

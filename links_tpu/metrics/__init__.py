@@ -70,7 +70,17 @@ def auc(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
 
 def get_all(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
     """MPJPE / PCK / AUC / CPS bundle (utils/metrics_batch.py:66-102).
-    CPS reproduces the reference's (flagged-as-incorrect) un-aligned sweep."""
+
+    ``CPS`` reproduces the reference's sweep bit-for-bit — which the
+    reference itself flags ``TODO: Not correct. This should be Procrustes
+    aligned`` (utils/metrics_batch.py:92): its CP curve counts a pose
+    correct when every joint error is under the threshold, but measures
+    errors only root-centered + norm-scaled, so a globally rotated pose
+    scores zero. ``CPS_correct`` is the fixed variant: the same sweep over
+    Procrustes-aligned distances (the batched det-trick alignment the same
+    file provides, utils/metrics_batch.py:116-158), i.e. what the metric's
+    definition intends. Both are returned so reference numbers stay
+    comparable while the corrected one is available."""
     p_ref_c, p_c = _center_scale(p_ref, p, root_joint, num_joints, use_scaling)
     dist = jnp.linalg.norm(p_c - p_ref_c, axis=1)
     out = {"MPJPE": dist.mean()}
@@ -80,8 +90,17 @@ def get_all(p_ref, p, use_scaling=True, root_joint=0, num_joints=17):
         dist.shape[0] * dist.shape[1] * 31
     ) * 100.0
     ds = jnp.linspace(0.0, 300.0, 301)
-    cp = ((dist[None] > ds[:, None, None]).sum(axis=2) < 1).sum(axis=1) / dist.shape[0]
-    out["CPS"] = cp.sum()
+
+    def _cps(d):
+        cp = ((d[None] > ds[:, None, None]).sum(axis=2) < 1).sum(axis=1)
+        return cp.sum() / d.shape[0]
+
+    out["CPS"] = _cps(dist)
+    pr = p_ref.reshape(-1, 3, num_joints)
+    aligned = _map_chunks(
+        lambda c: procrustes_batch(c[0], c[1]),
+        (p.reshape(-1, 3, num_joints), pr), pr.shape[0])
+    out["CPS_correct"] = _cps(jnp.linalg.norm(aligned - pr, axis=1))
     return out
 
 

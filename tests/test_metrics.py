@@ -86,7 +86,29 @@ def test_pck_auc_bounds(rng):
 def test_get_all_keys(rng):
     gt, pred = _poses(rng)
     out = metrics.get_all(jnp.asarray(gt), jnp.asarray(pred))
-    assert set(out) == {"MPJPE", "PCK", "AUC", "CPS"}
+    assert set(out) == {"MPJPE", "PCK", "AUC", "CPS", "CPS_correct"}
+
+
+def test_cps_correct_is_alignment_invariant(rng):
+    """The reference's CPS (flagged `TODO: Not correct`,
+    utils/metrics_batch.py:92) scores a globally rotated perfect prediction
+    near zero; CPS_correct Procrustes-aligns first and scores it perfect
+    (301 = the full 0..300mm threshold sweep)."""
+    gt, _ = _poses(rng, b=16)
+    th = 2.0
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    pred = np.einsum("ij,bjk->bik", R, gt) * 1.3
+    out = metrics.get_all(jnp.asarray(gt), jnp.asarray(pred.astype(np.float32)))
+    assert float(out["CPS"]) < 10.0
+    # 300, not 301: the d=0 bucket fails on the f32 alignment residual
+    # (the reference's own sweep behaves identically at zero threshold)
+    assert float(out["CPS_correct"]) >= 299.5
+    # on identical poses both agree at the perfect score (the aligned
+    # variant keeps an f32 SVD residual, so its d=0 bucket may still fail)
+    same = metrics.get_all(jnp.asarray(gt), jnp.asarray(gt))
+    np.testing.assert_allclose(float(same["CPS"]), 301.0, atol=0.5)
+    assert float(same["CPS_correct"]) >= 299.5
 
 
 def test_procrustes_batch_no_reflection(rng):
