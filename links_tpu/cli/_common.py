@@ -68,7 +68,15 @@ def add_common_flags(parser: argparse.ArgumentParser):
                         help="train/eval on detector 2D keypoints "
                              "(reference get_2dgt=False, "
                              "utils/h36m_dataset_class.py:54-67); uses the "
-                             "pickle's poses_2d_pred arrays when present")
+                             "pickle's poses_2d_pred arrays when present. "
+                             "Frames with undetected (zeroed) keypoints are "
+                             "dropped by default — the paper handles them "
+                             "via the occlusion pipeline at eval time "
+                             "(eval_h36m --from-detections)")
+    parser.add_argument("--keep-incomplete", action="store_true",
+                        help="with --no-gt-2d: keep frames with missing "
+                             "keypoints in the train/test splits instead of "
+                             "filtering them")
     parser.add_argument("--synthetic", action="store_true",
                         help="generate synthetic data at --data if missing (smoke runs)")
     parser.add_argument("--synthetic-n", type=int, default=512,
@@ -216,10 +224,18 @@ def _split_spec(args):
     return path, loader, train_subjects, test_subjects, test_norm, use_gt
 
 
+def _complete_only(args) -> bool:
+    return (not getattr(args, "gt_2d", True)
+            and not getattr(args, "keep_incomplete", False))
+
+
 def load_train_test(args):
     path, loader, train_s, test_s, test_norm, use_gt = _split_spec(args)
-    train = loader(path, train_s, normalize_func=normalize_head, use_gt=use_gt)
-    test = loader(path, test_s, normalize_func=test_norm, use_gt=use_gt)
+    co = _complete_only(args)
+    train = loader(path, train_s, normalize_func=normalize_head,
+                   use_gt=use_gt, complete_only=co)
+    test = loader(path, test_s, normalize_func=test_norm, use_gt=use_gt,
+                  complete_only=co)
     return train, test
 
 
@@ -230,14 +246,16 @@ def load_test(args):
     auto` still derives its scale from the train subjects — that path reads
     the pickle directly (_train_head_scale), not the device loader."""
     path, loader, _, test_s, test_norm, use_gt = _split_spec(args)
-    return loader(path, test_s, normalize_func=test_norm, use_gt=use_gt)
+    return loader(path, test_s, normalize_func=test_norm, use_gt=use_gt,
+                  complete_only=_complete_only(args))
 
 
 def load_train(args):
     """Train split only — the mirror of load_test for tools (links-pack)
     that never evaluate."""
     path, loader, train_s, _, _, use_gt = _split_spec(args)
-    return loader(path, train_s, normalize_func=normalize_head, use_gt=use_gt)
+    return loader(path, train_s, normalize_func=normalize_head, use_gt=use_gt,
+                  complete_only=_complete_only(args))
 
 
 def load_train_test_or_packed(args):
@@ -296,6 +314,12 @@ def _train_head_scale(path, train_subjects, use_gt: bool = True) -> float:
     if not use_gt and all("poses_2d_pred" in d[s] for s in train_subjects):
         key_2d = "poses_2d_pred"
     p2 = np.concatenate([np.asarray(d[s][key_2d]) for s in train_subjects])
+    if key_2d == "poses_2d_pred":
+        # a zeroed (undetected) root or head would corrupt the distance;
+        # measure the scale on frames where both endpoints were detected
+        ok = ~(np.all(p2[:, 0] == 0.0, axis=-1)
+               | np.all(p2[:, 10] == 0.0, axis=-1))
+        p2 = p2[ok]
     p2 = p2.transpose(0, 2, 1).reshape(-1, 2, 17)
     c = p2 - p2[:, :, 0:1]
     return float(np.linalg.norm(c[:, :, 0] - c[:, :, 10], axis=1).mean())
@@ -461,6 +485,25 @@ class BestTracker:
         return True
 
 
+def add_select_by_flag(parser: argparse.ArgumentParser):
+    """Best-checkpoint selection criterion for the lifter trainers."""
+    parser.add_argument(
+        "--select-by", choices=["pa", "nll", "loss"], default="pa",
+        help="validation metric the BestTracker selects '<artifact>_best' "
+             "checkpoints on: 'pa' = GT-3D PA-MPJPE (what the reference "
+             "eyeballs on wandb — uses test-set 3D GT for selection only); "
+             "'nll' = part-flow NLL of the validation reprojections; "
+             "'loss' = the full unsupervised validation objective. nll/loss "
+             "keep the pipeline end-to-end unsupervised including model "
+             "selection; all three are logged every validation epoch "
+             "regardless")
+
+
+def select_metric(args, pa_name: str) -> str:
+    return {"pa": pa_name, "nll": "val_nll",
+            "loss": "val_unsup_loss"}[getattr(args, "select_by", "pa")]
+
+
 def add_use_best_flag(parser: argparse.ArgumentParser):
     g = parser.add_mutually_exclusive_group()
     g.add_argument("--use-best", action="store_true",
@@ -620,9 +663,69 @@ def serving_policy(args):
 
 def maybe_quantize(tree, args):
     """Apply the --quant flag to a loaded param tree (serving CLIs): int8
-    post-training quantization via ops/quant.py, or pass-through."""
-    if getattr(args, "quant", None) == "int8":
+    post-training quantization via ops/quant.py, or pass-through.
+    ``int8-static`` is handled by the mode-specific helpers below (it needs
+    a calibration forward, which depends on the model family); trees routed
+    here under that flag fall back to dynamic scales."""
+    if getattr(args, "quant", None) in ("int8", "int8-static"):
         from links_tpu.ops.quant import quantize_params
 
         return quantize_params(tree)
     return tree
+
+
+def _calib_poses(args):
+    """Calibration rows for --quant int8-static: normalized 2D poses from
+    the TRAIN split (activation ranges must not be fit on the eval data),
+    as host numpy so the eager calibration forwards run on the CPU backend
+    (ops/quant.py:quantize_params_static)."""
+    import numpy as np
+
+    rows = int(getattr(args, "calib_rows", 1024) or 1024)
+    return np.asarray(load_train(args).poses_2d)[:rows]
+
+
+def static_quant_lr(args, stacked):
+    """--quant int8-static for the stacked (left, right) serving pair."""
+    import numpy as np
+
+    from links_tpu.core.skeleton import split_data_left_right
+    from links_tpu.models import lifter_apply
+    from links_tpu.ops.quant import quantize_stacked_static
+
+    calib = _calib_poses(args)
+
+    def run(p, i):
+        sides = split_data_left_right(calib)
+        lifter_apply(p, np.asarray(sides[i]))
+
+    q, ns, nd = quantize_stacked_static(stacked, run)
+    print(f"[links_tpu] int8-static: {ns} linears calibrated on "
+          f"{calib.shape[0]} train rows, {nd} dynamic fallback",
+          file=sys.stderr)
+    return q
+
+
+def static_quant_leg_torso(args, legs, torso):
+    """--quant int8-static for the legs/torso serving pair."""
+    import numpy as np
+
+    from links_tpu.core.skeleton import split_data_legs_torso
+    from links_tpu.models import lifter_apply
+    from links_tpu.ops.quant import quantize_params_static
+
+    calib = _calib_poses(args)
+
+    def run_part(idx):
+        def run(p):
+            parts = split_data_legs_torso(calib)
+            lifter_apply(p, np.asarray(parts[idx]))
+
+        return run
+
+    legs_q, s1, d1 = quantize_params_static(legs, run_part(0))
+    torso_q, s2, d2 = quantize_params_static(torso, run_part(1))
+    print(f"[links_tpu] int8-static: {s1 + s2} linears calibrated on "
+          f"{calib.shape[0]} train rows, {d1 + d2} dynamic fallback",
+          file=sys.stderr)
+    return legs_q, torso_q

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 from links_tpu import metrics, models
 from links_tpu.cli import _common as C
 from links_tpu.config import LifterTrainConfig
-from links_tpu.objectives import LifterFrozen, lift_left_right_eval
+from links_tpu.objectives import (
+    LifterFrozen,
+    left_right_loss,
+    lift_left_right_eval,
+)
 from links_tpu.train import (
     build_left_right_step,
     init_state,
@@ -41,6 +45,21 @@ def _validate(stacked_params, test_2d, test_3d, depth: float = 10.0):
     return out
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _validate_unsup(stacked_params, frozen, bone_means, test_2d, key, cfg):
+    """Unsupervised validation criterion: the stage's own five-loss
+    objective evaluated on the *validation* split with a fixed rotation key
+    — no GT 3D involved. ``val_nll`` is the part-flow NLL of the rotated
+    reprojections (the likeli term); ``val_unsup_loss`` the full weighted
+    sum. Logged every validation epoch so checkpoint selection can be
+    end-to-end unsupervised (``--select-by nll``); RESULTS.md compares it
+    against GT-PA selection."""
+    n2 = (test_2d.shape[0] // 2) * 2  # pairwise-deformation needs even n
+    loss, aux = left_right_loss(stacked_params, frozen, test_2d[:n2], key,
+                                cfg, bone_relations_mean=bone_means)
+    return {"val_nll": aux["likeli"], "val_unsup_loss": loss}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     C.add_lifter_flags(parser)
@@ -59,6 +78,7 @@ def main(argv=None):
                              "for real; downstream stages work unchanged "
                              "(lifter_apply dispatches on the checkpoint's "
                              "param structure)")
+    C.add_select_by_flag(parser)
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
@@ -116,7 +136,10 @@ def main(argv=None):
         test_data.poses_2d, test_data.poses_3d,
     )
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
-    best = C.BestTracker("pa_mean")
+    best = C.BestTracker(C.select_metric(args, "pa_mean"))
+    # fixed key: the unsupervised validation criterion must be comparable
+    # across epochs, so its rotation draw never changes
+    val_key = jax.random.PRNGKey(args.seed + 20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
         # first --save-every boundary leaves start_epoch=0 but a valid
@@ -133,6 +156,9 @@ def main(argv=None):
                         _validate(state.params, test2d, test3d,
                                   depth=cfg.depth).items()})
             rec["pa_mean"] = (rec["pa_left"] + rec["pa_right"]) / 2
+            rec.update({k: float(v) for k, v in
+                        _validate_unsup(state.params, frozen, bone_means,
+                                        test2d, val_key, cfg).items()})
             if best.update(args, epoch, rec, {C.LIFTER_LR: state.params}):
                 msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"

@@ -18,7 +18,7 @@ from links_tpu import metrics, models
 from links_tpu.cli import _common as C
 from links_tpu.config import LifterTrainConfig
 from links_tpu.core.skeleton import BONE_RELATIONS_MEAN_H36M
-from links_tpu.objectives import LifterFrozen, lift_leg_torso_eval
+from links_tpu.objectives import LifterFrozen, leg_torso_loss, lift_leg_torso_eval
 from links_tpu.train import (
     build_leg_torso_step,
     init_state,
@@ -39,6 +39,18 @@ def _validate(params, test_2d, test_3d, depth: float = 10.0):
     }
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _validate_unsup(params, frozen, bone_means, test_2d, key, cfg):
+    """Unsupervised validation criterion — see the stage-3a twin
+    (train_left_right_lifter._validate_unsup): the stage objective on the
+    validation split with a fixed rotation key; enables --select-by nll."""
+    n2 = (test_2d.shape[0] // 2) * 2
+    loss, aux = leg_torso_loss(params["legs"], params["torso"], frozen,
+                               test_2d[:n2], key, cfg,
+                               bone_relations_mean=bone_means)
+    return {"val_nll": aux["likeli"], "val_unsup_loss": loss}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     C.add_lifter_flags(parser)
@@ -47,6 +59,7 @@ def main(argv=None):
                         help="bone-relation prior; the reference file defaults "
                              "to the MPI means (train_leg_torso_lifter.py:97) "
                              "but H36M training wants the H36M means")
+    C.add_select_by_flag(parser)
     C.add_common_flags(parser)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
@@ -97,7 +110,8 @@ def main(argv=None):
         test_data.poses_2d, test_data.poses_3d,
     )
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
-    best = C.BestTracker("pa")
+    best = C.BestTracker(C.select_metric(args, "pa"))
+    val_key = jax.random.PRNGKey(args.seed + 20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
         # first --save-every boundary leaves start_epoch=0 but a valid
@@ -113,6 +127,9 @@ def main(argv=None):
             rec.update({k: float(v) for k, v in
                         _validate(state.params, test2d, test3d,
                                   depth=cfg.depth).items()})
+            rec.update({k: float(v) for k, v in
+                        _validate_unsup(state.params, frozen, bone_means,
+                                        test2d, val_key, cfg).items()})
             if best.update(args, epoch, rec,
                            {C.LIFTER_LEGS: state.params["legs"],
                             C.LIFTER_TORSO: state.params["torso"]}):
