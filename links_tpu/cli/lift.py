@@ -84,12 +84,20 @@ def add_serving_flags(parser):
                              "fused Pallas kernel (bf16 multiplies, chunked "
                              "at <=512 poses; see PERF.md 'Inference "
                              "serving')")
-    parser.add_argument("--quant", choices=["int8"], default=None,
+    parser.add_argument("--quant", choices=["int8", "int8-static"],
+                        default=None,
                         help="post-training quantization of the serving "
                              "weights: int8 runs the MXU's s8xs8->s32 2x-"
                              "rate path with dynamic per-row activation "
-                             "scales (ops/quant.py; accuracy delta in "
+                             "scales; int8-static calibrates per-tensor "
+                             "activation scales offline on --calib-rows "
+                             "train poses, removing the per-row dynamic-"
+                             "quant VPU work from the serving program "
+                             "(ops/quant.py; accuracy/latency deltas in "
                              "PERF.md 'Int8 serving')")
+    parser.add_argument("--calib-rows", type=int, default=1024,
+                        help="train rows used to calibrate int8-static "
+                             "activation scales")
     parser.add_argument("--policy", choices=["f32", "bf16"], default="f32",
                         help="serving matmul dtype: bf16 multiplies (f32 "
                              "accumulation) run 2.3x faster than f32 on "
@@ -117,6 +125,11 @@ def build_serving_fn(args, batch: int):
     if args.fused and args.quant:
         raise SystemExit("--fused and --quant are mutually exclusive "
                          "(the Pallas kernel multiplies in bf16)")
+    if args.quant == "int8-static" and args.scenario:
+        raise SystemExit(
+            "--quant int8-static calibrates the plain left_right/leg_torso "
+            "forwards only; the --scenario completer-infill program falls "
+            "back to --quant int8 (dynamic scales)")
 
     _maybe_quant = lambda tree: C.maybe_quantize(tree, args)
     policy = C.serving_policy(args)
@@ -139,7 +152,9 @@ def build_serving_fn(args, batch: int):
 
         fn = lambda p2d: _infill(completers, lifters, p2d)
     elif args.mode == "left_right":
-        stacked = _maybe_quant(C.load_stacked_lr(args))
+        stacked = C.load_stacked_lr(args)
+        stacked = (C.static_quant_lr(args, stacked)
+                   if args.quant == "int8-static" else _maybe_quant(stacked))
         if args.fused:
             # single fused Pallas kernel for both side lifters (bf16
             # multiply policy; ops/fused_infer.py) — opt-in serving path
@@ -155,10 +170,14 @@ def build_serving_fn(args, batch: int):
             fn = lambda p2d: _lift(stacked, p2d, args.depth, args.choice,
                                    policy)
     else:
-        legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
-                                          pt_loader=load_lifter_pt))
-        torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
-                                           pt_loader=load_lifter_pt))
+        legs = C.load_params(args, _name(C.LIFTER_LEGS),
+                             pt_loader=load_lifter_pt)
+        torso = C.load_params(args, _name(C.LIFTER_TORSO),
+                              pt_loader=load_lifter_pt)
+        if args.quant == "int8-static":
+            legs, torso = C.static_quant_leg_torso(args, legs, torso)
+        else:
+            legs, torso = _maybe_quant(legs), _maybe_quant(torso)
         _lift = jax.jit(lift_leg_torso_eval, static_argnums=(3, 4))
         fn = lambda p2d: _lift(legs, torso, p2d, args.depth, policy)
     return fn, batch

@@ -51,17 +51,46 @@ def init_linear(key, fan_in: int, fan_out: int, dtype=jnp.float32):
     }
 
 
+# Activation-range recording for static int8 calibration
+# (ops/quant.py:quantize_params_static). When a dict is installed here,
+# every EAGER (un-jitted, un-vmapped) ``dense`` call records the max |x| it
+# saw, keyed by id() of its param sub-dict — valid because apply functions
+# index the pytree directly (p["upscale"], ...), so eager calls receive the
+# exact dict objects of the tree being calibrated.
+_CALIB = None
+
+
+def record_activation_ranges():
+    """Context manager yielding the {id(linear_dict): max|x|} record."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _cm():
+        global _CALIB
+        prev, _CALIB = _CALIB, {}
+        try:
+            yield _CALIB
+        finally:
+            _CALIB = prev
+
+    return _cm()
+
+
 def dense(params, x, policy: Policy = F32):
     """y = x @ w + b under the dtype policy (bf16 multiply / f32 accumulate
     when policy.compute_dtype == bf16).
 
     Dispatches on the param layout: an int8-quantized linear
     (``w_q``/``w_scale`` from ops/quant.py:quantize_params) runs the
-    s8×s8→s32 MXU path — activations dynamically quantized per row,
-    int32 accumulation, f32 rescale — so every model apply serves
-    quantized weights without code changes."""
+    s8×s8→s32 MXU path — activations quantized with either dynamic per-row
+    scales or a calibrated static per-tensor scale (``x_scale`` present) —
+    so every model apply serves quantized weights without code changes."""
     if "w_q" in params:
         return _dense_int8(params, x, policy)
+    if _CALIB is not None and "w" in params:
+        key = id(params)
+        amax = float(jnp.max(jnp.abs(x)))
+        _CALIB[key] = max(_CALIB.get(key, 0.0), amax)
     w = params["w"].astype(policy.compute_dtype)
     xc = x.astype(policy.compute_dtype)
     y = jnp.dot(xc, w, preferred_element_type=jnp.float32)
@@ -69,10 +98,17 @@ def dense(params, x, policy: Policy = F32):
 
 
 def _dense_int8(params, x, policy: Policy = F32):
-    """w8a8 serving matmul: per-row dynamic activation scales, per-output-
-    channel weight scales (ops/quant.py), int32 MXU accumulation."""
+    """w8a8 serving matmul (ops/quant.py scheme): per-output-channel weight
+    scales; activation scales either dynamic per-row (default) or static
+    per-tensor from offline calibration (``x_scale`` leaf) — the static
+    path removes the per-row |max| reduction + divide from the serving
+    program entirely (PERF.md int8 section). int32 MXU accumulation."""
     x = x.astype(jnp.float32)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
+    if "x_scale" in params:
+        x_scale = params["x_scale"]
+    else:
+        x_scale = jnp.maximum(
+            jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-12) / 127.0
     x_q = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
     acc = jnp.dot(x_q, params["w_q"], preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * (x_scale * params["w_scale"])

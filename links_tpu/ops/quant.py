@@ -36,7 +36,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize_params", "is_quantized"]
+__all__ = ["quantize_params", "quantize_params_static", "is_quantized"]
 
 
 def _quantize_linear(lin: dict) -> dict:
@@ -67,6 +67,91 @@ def quantize_params(params):
     if isinstance(params, (list, tuple)):
         return type(params)(quantize_params(v) for v in params)
     return params
+
+
+def quantize_params_static(params, run_calibration):
+    """Int8 quantization with *static* per-tensor activation scales.
+
+    The dynamic scheme (``quantize_params``) computes a per-row ``max|x|``
+    reduction + divide inside the serving program; at large batch that VPU
+    work outgrows the int8 weight-traffic saving and inverts the speedup
+    (PERF.md int8 table, 16k row). Static calibration measures each
+    linear's activation range offline on representative data and bakes a
+    single per-tensor scale into the quantized params (the standard w8a8
+    static-activation scheme), leaving only quantize→matmul→rescale at
+    serving time.
+
+    ``run_calibration(params)``: a callable that runs representative
+    forward passes EAGERLY (no jit, no vmap) using the exact sub-dict
+    objects of ``params`` — e.g. ``lambda p: lifter_apply(p, calib_x)``.
+    Eagerness is required because the recorder keys on the identity of the
+    param sub-dicts (core/nn.py:record_activation_ranges); jit/vmap
+    re-build the pytree and break the keying. Linears never reached by the
+    calibration run fall back to dynamic per-row scales (and are reported
+    by the returned coverage counter).
+
+    Returns ``(quantized_params, n_static, n_dynamic)``.
+    """
+    import contextlib
+
+    import numpy as np
+
+    from links_tpu.core import nn
+
+    # Calibration is eager, and on the tunnel-attached TPU every eager op
+    # costs seconds — so move the params to host numpy (same tree, same
+    # values) and pin the default device to the CPU backend when one
+    # exists; the recorded ranges are identical wherever they're computed.
+    host = jax.tree.map(lambda a: np.asarray(a), params)
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with nn.record_activation_ranges() as rec, ctx:
+        run_calibration(host)
+
+    counts = [0, 0]  # static, dynamic
+
+    def walk(p):
+        if isinstance(p, dict):
+            if set(p) == {"w", "b"} and getattr(p["w"], "ndim", 0) in (2, 3):
+                out = _quantize_linear(
+                    {k: jnp.asarray(v) for k, v in p.items()})
+                amax = rec.get(id(p))
+                if amax is not None and amax > 0.0:
+                    counts[0] += 1
+                    out["x_scale"] = jnp.float32(amax / 127.0)
+                else:
+                    counts[1] += 1
+                return out
+            return {k: walk(v) for k, v in p.items()}
+        if isinstance(p, (list, tuple)):
+            return type(p)(walk(v) for v in p)
+        return jnp.asarray(p) if isinstance(p, np.ndarray) else p
+
+    q = walk(host)
+    return q, counts[0], counts[1]
+
+
+def quantize_stacked_static(stacked, run_calibration_single):
+    """``quantize_params_static`` for a leading-axis-stacked model family
+    (e.g. the (left, right) lifter pair serving trees stack on axis 0 and
+    apply under vmap — lifters.py module docstring). Each slice is
+    calibrated with its own plain eager apply
+    (``run_calibration_single(params_i, i)``), then the quantized slices
+    re-stack; the per-slice 0-d ``x_scale`` leaves stack to (n,) and come
+    back 0-d under the serving vmap. Returns ``(stacked_q, n_static,
+    n_dynamic)`` summed over slices."""
+    n = jax.tree.leaves(stacked)[0].shape[0]
+    slices, tot_s, tot_d = [], 0, 0
+    for i in range(n):
+        p_i = jax.tree.map(lambda a: a[i], stacked)
+        q_i, s, d = quantize_params_static(
+            p_i, lambda p: run_calibration_single(p, i))
+        slices.append(q_i)
+        tot_s += s
+        tot_d += d
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *slices), tot_s, tot_d
 
 
 def is_quantized(params) -> bool:

@@ -107,6 +107,75 @@ def test_quantize_skips_attention_qkv(rng):
     assert rel < 0.1, rel
 
 
+def test_static_quant_dense_and_coverage(rng):
+    """quantize_params_static: linears reached by the eager calibration
+    forward get a per-tensor x_scale (static path — no per-row reduction in
+    the serving program); unreached ones fall back to dynamic."""
+    from links_tpu.models.lifters import lifter_apply
+    from links_tpu.ops.quant import quantize_params_static
+
+    lifter = models.init_lifter(jax.random.PRNGKey(7), 11, hidden=HID)
+    calib = rng.normal(size=(64, 22)).astype(np.float32) * 0.1
+
+    q, n_static, n_dynamic = quantize_params_static(
+        lifter, lambda p: lifter_apply(p, calib))
+    # the lifter forward touches every one of its 17 linears
+    assert n_static == 17 and n_dynamic == 0
+    assert q["upscale"]["x_scale"].shape == ()
+    # calibrated scale = max|calib| / 127 for the input layer
+    np.testing.assert_allclose(float(q["upscale"]["x_scale"]),
+                               np.abs(calib).max() / 127.0, rtol=1e-6)
+
+    # static forward ≈ f32 forward on data from the calibration distribution
+    x = jnp.asarray(rng.normal(size=(16, 22)).astype(np.float32) * 0.1)
+    exact, _ = lifter_apply(lifter, x)
+    stat, _ = jax.jit(lifter_apply)(q, x)
+    rel = np.linalg.norm(np.asarray(stat) - np.asarray(exact)) / np.linalg.norm(
+        np.asarray(exact))
+    assert rel < 0.03, rel
+
+    # a runner that touches nothing → all-dynamic fallback, still applies
+    q2, s2, d2 = quantize_params_static(lifter, lambda p: None)
+    assert s2 == 0 and d2 == 17
+    assert "x_scale" not in q2["upscale"]
+    dyn, _ = jax.jit(lifter_apply)(q2, x)
+    assert np.isfinite(np.asarray(dyn)).all()
+
+
+def test_static_quant_stacked_pair(rng):
+    """quantize_stacked_static calibrates each slice with its own eager
+    apply and restacks; the full vmapped serving forward stays close to
+    f32 (the int8-static serving configuration, VERDICT r2 next #5)."""
+    from links_tpu.core.skeleton import split_data_left_right
+    from links_tpu.models.lifters import lifter_apply
+    from links_tpu.ops.quant import quantize_stacked_static
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(8))
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(k1, 11, hidden=HID),
+        models.init_lifter(k2, 11, hidden=HID),
+    )
+    p = rng.normal(size=(64, 2, 17)).astype(np.float32) * 0.1
+    p[:, :, 0] = 0.0
+    calib = p.reshape(64, 34)
+
+    def run(params, i):
+        sides = split_data_left_right(calib)
+        lifter_apply(params, np.asarray(sides[i]))
+
+    qstacked, ns, nd = quantize_stacked_static(stacked, run)
+    assert ns == 34 and nd == 0
+    assert qstacked["upscale"]["x_scale"].shape == (2,)
+    assert qstacked["upscale"]["w_q"].shape == (2, 22, HID)
+
+    poses = jnp.asarray(calib[:16])
+    exact = np.asarray(jax.jit(lift_left_right_eval)(stacked, poses))
+    stat = np.asarray(jax.jit(lift_left_right_eval)(qstacked, poses))
+    rel = np.linalg.norm(stat - exact) / np.linalg.norm(exact)
+    assert rel < 0.03, rel
+
+
 def test_bf16_policy_close_to_f32(rng):
     """--policy bf16 (serving CLIs): bf16 multiplies / f32 accumulation
     must stay within bf16 rounding of the f32 forward — the 'free' half
