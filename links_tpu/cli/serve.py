@@ -17,10 +17,16 @@ Endpoints:
 
 Serving discipline (the XLA requirement): requests are padded to one
 fixed chunk shape so every call hits the single compiled executable —
-the same discipline as links-lift's batch path — and device execution is
-serialized behind a lock (one chip, one queue; HTTP threads only overlap
-on IO/parse). The first request after start is the compile; ``--warmup``
-(default on) pays it at startup instead.
+the same discipline as links-lift's batch path. Device execution runs on
+ONE dispatcher thread (one chip, one queue); HTTP threads hand their
+payload to a coalescing queue and wait. Requests that arrive while the
+device is busy are merged into the next padded chunk — N concurrent
+50-pose requests cost one chunk execution instead of N (the
+cross-request batching VERDICT r2 next #6 asked for; benchmark:
+benchmarks/serve_load.py, PERF.md "Serving under concurrency").
+``--no-coalesce`` restores the lock-serialized per-request path. The
+first request after start is the compile; ``--warmup`` (default on) pays
+it at startup instead.
 """
 
 from __future__ import annotations
@@ -28,6 +34,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import queue
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -38,6 +45,96 @@ from links_tpu.cli import _common as C
 from links_tpu.cli.lift import _chunked, add_serving_flags, build_serving_fn
 
 MAX_BODY = 256 * 1024 * 1024  # 256 MB ≈ 2M poses — refuse anything larger
+
+
+class Coalescer:
+    """Cross-request batching for the single-chip serving daemon.
+
+    HTTP threads ``submit()`` their (N, 34) payload and block; one
+    dispatcher thread owns the device. Whenever it finishes a run it
+    drains everything that queued meanwhile — plus, optionally, requests
+    arriving within ``max_wait_ms`` while the merged rows still fit the
+    chunk — concatenates the payloads, runs ONE padded chunked execution,
+    and scatters the result slices back. Solo requests therefore pay zero
+    added latency (the drain is non-blocking by default); concurrent small
+    requests share chunk executions instead of serializing N of them.
+
+    ``max_merge_chunks`` bounds a merged run (memory + head-of-line
+    fairness): at most that many chunk-multiples of rows merge into one
+    execution; the rest stay queued for the next.
+    """
+
+    _CLOSE = object()
+
+    def __init__(self, fn, batch: int, max_wait_ms: float = 0.0,
+                 max_merge_chunks: int = 4):
+        self.fn = fn
+        self.batch = batch
+        self.max_wait = max_wait_ms / 1e3
+        self.max_rows = max_merge_chunks * batch
+        self.stats = {"device_batches": 0, "merged_requests": 0}
+        self._q: queue.Queue = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="links-serve-dispatch")
+        self._thread.start()
+
+    def submit(self, poses: np.ndarray) -> np.ndarray:
+        ev = threading.Event()
+        slot: dict = {}
+        self._q.put((poses, ev, slot))
+        ev.wait()
+        if "err" in slot:
+            raise slot["err"]
+        return slot["out"]
+
+    def close(self):
+        self._q.put(self._CLOSE)
+        self._thread.join(timeout=5)
+
+    def _drain(self, pending, rows):
+        """Merge queued requests into ``pending`` up to max_rows; with a
+        wait window, also requests arriving before the deadline while the
+        next chunk boundary is unfilled."""
+        deadline = time.monotonic() + self.max_wait
+        while rows < self.max_rows:
+            try:
+                wait = deadline - time.monotonic()
+                if wait > 0 and rows < self.batch:
+                    nxt = self._q.get(timeout=wait)  # fill the first chunk
+                else:
+                    nxt = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is self._CLOSE:
+                self._q.put(self._CLOSE)  # re-post: stop after this run
+                break
+            pending.append(nxt)
+            rows += nxt[0].shape[0]
+        return pending
+
+    def _loop(self):
+        while True:
+            item = self._q.get()
+            if item is self._CLOSE:
+                return
+            pending = self._drain([item], item[0].shape[0])
+            arr = (pending[0][0] if len(pending) == 1 else
+                   np.concatenate([p[0] for p in pending]))
+            try:
+                out = _chunked(self.fn, arr, self.batch)
+            except Exception as e:  # deliver the failure to every waiter
+                for _, ev, slot in pending:
+                    slot["err"] = e
+                    ev.set()
+                continue
+            self.stats["device_batches"] += 1
+            self.stats["merged_requests"] += len(pending)
+            ofs = 0
+            for poses, ev, slot in pending:
+                n = poses.shape[0]
+                slot["out"] = out[ofs:ofs + n]
+                ofs += n
+                ev.set()
 
 
 def _parse_poses(body: bytes, content_type: str) -> np.ndarray:
@@ -100,6 +197,11 @@ def make_server(args) -> ThreadingHTTPServer:
         probe = np.zeros((batch, 34), np.float32)
         _chunked(fn, probe, batch)
 
+    coalescer = None
+    if getattr(args, "coalesce", True):
+        coalescer = Coalescer(fn, batch,
+                              max_wait_ms=getattr(args, "coalesce_wait_ms", 0.0))
+
     class Handler(BaseHTTPRequestHandler):
         # quiet by default; --verbose restores per-request stderr lines
         def log_message(self, fmt, *log_args):
@@ -119,8 +221,11 @@ def make_server(args) -> ThreadingHTTPServer:
                 return self._reply(404, {"error": f"no route {self.path}"})
             with lock:
                 snap = dict(stats)
+            if coalescer is not None:
+                snap.update(coalescer.stats)
             self._reply(200, {"ok": True, "model": model_desc,
-                              "batch": batch, **snap})
+                              "batch": batch,
+                              "coalescing": coalescer is not None, **snap})
 
         def do_POST(self):
             if self.path != "/lift":
@@ -139,8 +244,11 @@ def make_server(args) -> ThreadingHTTPServer:
                 return self._reply(400, {"error": str(e)})
             t0 = time.perf_counter()
             try:
-                with lock:  # one chip: serialize device execution
-                    pred = _chunked(fn, poses, batch)
+                if coalescer is not None:
+                    pred = coalescer.submit(poses)
+                else:
+                    with lock:  # one chip: serialize device execution
+                        pred = _chunked(fn, poses, batch)
             except Exception as e:  # model/runtime failure → 500 + alive
                 with lock:
                     stats["errors"] += 1
@@ -157,6 +265,15 @@ def make_server(args) -> ThreadingHTTPServer:
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     server.links_model_desc = model_desc  # introspection for main()/tests
+    server.links_coalescer = coalescer  # so close paths can stop the thread
+    _orig_close = server.server_close
+
+    def _close():
+        if coalescer is not None:
+            coalescer.close()
+        _orig_close()
+
+    server.server_close = _close
     return server
 
 
@@ -173,6 +290,17 @@ def main(argv=None):
                              "pays it instead)")
     parser.add_argument("--verbose", action="store_true",
                         help="per-request access log on stderr")
+    parser.add_argument("--no-coalesce", dest="coalesce",
+                        action="store_false",
+                        help="disable cross-request batching: serialize "
+                             "each request's device execution behind a "
+                             "lock (the pre-coalescing behavior; kept for "
+                             "benchmarking)")
+    parser.add_argument("--coalesce-wait-ms", type=float, default=0.0,
+                        help="optional window to wait for more requests "
+                             "while the next chunk is unfilled (default 0: "
+                             "merge only what queued while the device was "
+                             "busy — zero added solo-request latency)")
     add_serving_flags(parser)
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)

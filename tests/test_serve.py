@@ -163,6 +163,88 @@ def test_serve_fixed_batch_artifact(tmp_path, rng):
         thread.join(timeout=5)
 
 
+def test_coalescer_merges_and_scatters(rng):
+    """Coalescer correctness: concurrent submits merge into few device
+    batches, each caller gets exactly its own slice back, and an executor
+    failure propagates to every waiter without killing the dispatcher."""
+    import time as _time
+
+    from links_tpu.cli.serve import Coalescer
+
+    calls = []
+
+    def fn(chunk):
+        calls.append(np.asarray(chunk).shape[0])
+        _time.sleep(0.02)  # hold the "device" so submitters pile up
+        return np.asarray(chunk) * 2.0
+
+    co = Coalescer(fn, batch=16)
+    try:
+        payloads = [rng.normal(size=(n, 34)).astype(np.float32)
+                    for n in (3, 5, 4, 7, 2, 6)]
+        outs = [None] * len(payloads)
+
+        def worker(i):
+            outs[i] = co.submit(payloads[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(payloads))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+        for p, o in zip(payloads, outs):
+            np.testing.assert_allclose(o, p * 2.0, rtol=1e-6)
+        # 6 requests (27 rows) while the device sleeps 20ms per run must
+        # coalesce into fewer executions than the serialized 6
+        assert co.stats["merged_requests"] == 6
+        assert co.stats["device_batches"] < 6
+
+        # failure delivery: a poisoned fn raises in the submitter, and the
+        # dispatcher survives for the next request
+        def boom(chunk):
+            raise RuntimeError("kaboom")
+
+        co.fn = boom
+        with pytest.raises(RuntimeError, match="kaboom"):
+            co.submit(payloads[0])
+        co.fn = fn
+        np.testing.assert_allclose(co.submit(payloads[1]), payloads[1] * 2.0,
+                                   rtol=1e-6)
+    finally:
+        co.close()
+
+
+def test_serve_concurrent_coalesced(server, rng):
+    """End-to-end: concurrent HTTP clients get correct per-request results
+    through the coalescing queue, and /healthz reports the merge stats."""
+    base, fwd = server
+    poses = [rng.normal(size=(n, 34)).astype(np.float32) * 0.1
+             for n in (2, 3, 4, 5)]
+    outs = [None] * len(poses)
+
+    def client(i):
+        outs[i] = _post(base + "/lift",
+                        json.dumps({"poses_2d": poses[i].tolist()}).encode(),
+                        "application/json")
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(len(poses))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    for p, o in zip(poses, outs):
+        want = np.asarray(jax.jit(fwd)(jnp.asarray(p))).reshape(-1, 3, 17)
+        np.testing.assert_allclose(np.asarray(o["poses_3d"], np.float32),
+                                   want, rtol=1e-4, atol=1e-5)
+    with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["coalescing"] is True
+    assert health["merged_requests"] >= 4
+    assert health["device_batches"] >= 1
+
+
 def test_serve_rejects_bad_input(server):
     base, _ = server
     # wrong shape → 400 with a message, server stays alive
