@@ -75,7 +75,7 @@ def read_pickle_cached(file_name):
 
 
 def _load_pickle_subjects(file_name, subjects: Sequence[str], pose_3d_key: str,
-                          use_gt: bool = True):
+                          use_gt: bool = True, complete_only: bool = False):
     data = read_pickle_cached(file_name)
     # detector-keypoint path (reference get_2dgt=False): prefer a
     # 'poses_2d_pred' array when the pickle carries one; the reference keeps
@@ -86,6 +86,14 @@ def _load_pickle_subjects(file_name, subjects: Sequence[str], pose_3d_key: str,
         key_2d = "poses_2d_pred"
     two_d = np.concatenate([np.asarray(data[s][key_2d]) for s in subjects])
     three_d = np.concatenate([np.asarray(data[s][pose_3d_key]) for s in subjects])
+    if complete_only and not use_gt:
+        # detector corpora zero undetected keypoints (the reference's
+        # missing-keypoint convention, helpers.py:313-340); training the
+        # flows/lifters wants only frames with a complete detection — the
+        # partial frames are served by the occlusion pipeline at eval time
+        # (the paper's whole point, Supplementary PDF §1)
+        keep = ~np.all(two_d == 0.0, axis=2).any(axis=1)
+        two_d, three_d = two_d[keep], three_d[keep]
     return two_d, three_d
 
 
@@ -111,23 +119,26 @@ def _build(two_d, three_d, joints: int, normalize_func: Callable | None,
 
 def load_h36m(file_name, subjects: Sequence[str] = TRAIN_SUBJECTS, joints: int = 17,
               normalize_func: Callable | None = None,
-              use_gt: bool = True) -> PoseDataset:
+              use_gt: bool = True, complete_only: bool = False) -> PoseDataset:
     """H36M loader (utils/h36m_dataset_class.py:8-48). ``normalize_func`` is
     typically ``normalize_head`` (train) or ``normalize_head_test`` (test)
     per train_left_right_lifter.py:544-547. ``use_gt=False`` selects the
-    detector-keypoint path (get_2dgt=False, h36m_dataset_class.py:54-67)."""
-    two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d", use_gt)
+    detector-keypoint path (get_2dgt=False, h36m_dataset_class.py:54-67);
+    ``complete_only`` then drops frames with zeroed (undetected) joints."""
+    two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d",
+                                           use_gt, complete_only)
     return _build(two_d, three_d, joints, normalize_func, use_gt)
 
 
 def load_mpi_inf_3dhp(file_name, subjects: Sequence[str] = MPI_SUBJECTS,
                       joints: int = 17,
                       normalize_func: Callable | None = None,
-                      use_gt: bool = True) -> PoseDataset:
+                      use_gt: bool = True,
+                      complete_only: bool = False) -> PoseDataset:
     """MPI-INF-3DHP loader — uses the universal 3D ground truth
     (utils/h36m_dataset_class.py:69-114, mpi_inf_3dhp_dataset_class.py:8-64)."""
     two_d, three_d = _load_pickle_subjects(file_name, subjects, "poses_3d_univ",
-                                           use_gt)
+                                           use_gt, complete_only)
     return _build(two_d, three_d, joints, normalize_func, use_gt)
 
 

@@ -116,16 +116,69 @@ def generate_poses(n: int, seed: int = 0):
     cam[:, :, 1] += rng.normal(scale=150.0, size=(n, 1))
 
     p2d = FOCAL * cam[:, :, :2] / cam[:, :, 2:3]
-    # simulated detector output: GT keypoints + pixel noise (stands in for
-    # the reference's OpenPose-detection pickles; consumed by the
-    # get_2dgt=False / --no-gt-2d path)
-    p2d_pred = p2d + rng.normal(scale=3.0, size=p2d.shape)
+    # simulated detector output (stands in for the reference's OpenPose-
+    # detection pickles; consumed by the get_2dgt=False / --no-gt-2d path);
+    # drawn from a child generator so the GT streams above stay
+    # bit-identical across detector-model revisions for a given seed
+    p2d_pred, conf = _simulate_detector(
+        np.random.default_rng(int(rng.integers(2**31))), p2d)
     return {
         "poses_2d": p2d.astype(np.float32),
         "poses_2d_pred": p2d_pred.astype(np.float32),
+        "conf_2d_pred": conf.astype(np.float32),
         "poses_3d": cam.astype(np.float32),
         "poses_3d_univ": cam.astype(np.float32),
     }
+
+
+# Per-joint detector noise σ (px): torso chain is easy, limb extremities
+# hard — mirroring real 2D-detector error profiles (OpenPose on H36M,
+# Supplementary_WACV_Submission_2024-3.pdf §1 motivates exactly this: only
+# 45.1% of frames yield a complete detection, failures concentrated on
+# limbs).
+_DET_SIGMA = np.array([2.0, 2.5, 4.0, 6.0, 2.5, 4.0, 6.0,
+                       2.0, 2.0, 2.5, 3.0, 3.0, 4.5, 6.5,
+                       3.0, 4.5, 6.5])
+# Per-joint dropout probability (fraction of detections below the
+# confidence cut): wrists/ankles drop most. Joint probability of a
+# complete 17-joint frame ≈ 55% — the same regime as the paper's 45.1%.
+_DET_P_DROP = np.array([0.005, 0.01, 0.04, 0.08, 0.01, 0.04, 0.08,
+                        0.005, 0.005, 0.01, 0.01, 0.01, 0.04, 0.08,
+                        0.01, 0.04, 0.08])
+
+
+def _simulate_detector(rng, p2d):
+    """Noise + confidence-correlated dropout model.
+
+    * per-joint Gaussian pixel noise with σ = ``_DET_SIGMA``;
+    * 1.5% of joints are outliers (error ×8 — a mis-localization);
+    * confidence: with e = ‖err‖²/σ² (χ², 2 dof), conf = exp(−e/2) is
+      exactly U(0, 1) under the noise model, and is *monotonically
+      decreasing in the actual error* — so cutting at ``_DET_P_DROP``
+      drops precisely the worst detections at exactly the target rate
+      (the confidence-correlated dropout a real detector's threshold
+      applies). Outliers keep their genuine (tiny) confidence, so the
+      detector almost always knows it failed;
+    * 0.3% of joints are *confident misses*: error ×6 but confidence
+      redrawn uniform — the left/right-confusion failure mode where the
+      detector is confidently wrong and the error survives the cut.
+
+    Dropped joints are zeroed — the reference's missing-keypoint
+    convention (helpers.py:313-340 zeroes occluded keypoints). Returns
+    ``(p2d_pred (n,17,2), conf (n,17))``.
+    """
+    n = p2d.shape[0]
+    err = rng.normal(size=p2d.shape) * _DET_SIGMA[None, :, None]
+    outlier = rng.random((n, 17)) < 0.015
+    err = np.where(outlier[:, :, None], err * 8.0, err)
+    e2 = (err ** 2).sum(-1) / _DET_SIGMA[None, :] ** 2
+    conf = np.exp(-e2 / 2.0)
+    confident_miss = rng.random((n, 17)) < 0.003
+    err = np.where(confident_miss[:, :, None], err * 6.0, err)
+    conf = np.where(confident_miss, rng.random((n, 17)), conf)
+    dropped = conf < _DET_P_DROP[None, :]
+    p2d_pred = np.where(dropped[:, :, None], 0.0, p2d + err)
+    return p2d_pred, np.where(dropped, 0.0, conf)
 
 
 def write_synthetic_pickle(path, n_per_subject: int = 128, seed: int = 0,
