@@ -82,22 +82,32 @@ def packed_epoch_fn(packed: native_loader.PackedDataset, batch_size: int,
         steps.append(n_batches % chunk_steps)
 
     def epoch_fn(state, _unused_carry, key):
+        from concurrent.futures import ThreadPoolExecutor
+
         packed.shuffle(shuffle_seed(key))
         total, start = None, 0
-        # gather the first chunk before entering the dispatch loop so the
-        # loop body always gathers chunk i+1 while the device runs chunk i
-        host_chunk = packed.gather(0, steps[0] * batch_size)
-        for i, nb in enumerate(steps):
-            start += nb * batch_size
-            # device_put the numpy chunk straight into its sharded layout
-            chunk = parallel.shard_batch(host_chunk, mesh)
-            key, sub = jax.random.split(key)
-            state, losses = chunk_fn(state, chunk, sub)  # async dispatch
-            if i + 1 < len(steps):
-                host_chunk = packed.gather(start, steps[i + 1] * batch_size)
-            losses = jax.tree.map(lambda v, n=nb: v * n, losses)
-            total = losses if total is None else jax.tree.map(
-                jnp.add, total, losses)
+        # Double-buffered prefetch: the C++ gather of chunk i+1 runs on a
+        # worker thread (ctypes foreign calls drop the GIL) WHILE the main
+        # thread device_puts + dispatches chunk i and the device executes
+        # it. Round-2 served the gather from the dispatch thread after the
+        # async dispatch — which overlaps only as long as dispatch never
+        # blocks; the worker thread makes the overlap unconditional
+        # (measured: PERF.md "streaming feed" row).
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(packed.gather, 0, steps[0] * batch_size)
+            for i, nb in enumerate(steps):
+                host_chunk = fut.result()
+                start += nb * batch_size
+                if i + 1 < len(steps):
+                    fut = pool.submit(packed.gather, start,
+                                      steps[i + 1] * batch_size)
+                # device_put the numpy chunk straight into its sharded layout
+                chunk = parallel.shard_batch(host_chunk, mesh)
+                key, sub = jax.random.split(key)
+                state, losses = chunk_fn(state, chunk, sub)  # async dispatch
+                losses = jax.tree.map(lambda v, n=nb: v * n, losses)
+                total = losses if total is None else jax.tree.map(
+                    jnp.add, total, losses)
         # epoch mean, matching the device-resident scan's aux mean
         return state, jax.tree.map(lambda v: v / n_batches, total)
 
