@@ -29,6 +29,13 @@ def main(argv=None):
                                  "left", "right"],
                         help="occlusion scenario")
     parser.add_argument("--flow", default=C.FULL_FLOW, help="flow artifact for --what samples")
+    parser.add_argument("--style", choices=["bones", "32slot"],
+                        default="bones",
+                        help="--what gt3d rendering convention: 'bones' = "
+                             "direct 16-edge bone map (side-colored); "
+                             "'32slot' = the reference's 32-slot H36M "
+                             "buffer + kinematic-tree walk with its axis "
+                             "order and view (h36m_gt_visualiser.py:88-101)")
     parser.add_argument("--depth", type=float, default=10.0)
     parser.add_argument("--out", default=None, help="output image path")
     C.add_common_flags(parser)
@@ -52,7 +59,16 @@ def main(argv=None):
     from links_tpu import viz
 
     if args.what == "gt3d":
-        viz.compare_poses_3d([test3d[args.frame]], ["ground truth"], out_path=out)
+        if args.style == "32slot":
+            import matplotlib.pyplot as plt
+
+            ax = viz.plot_skeleton_3d_32slot(test3d[args.frame],
+                                             title="ground truth")
+            ax.figure.savefig(out, dpi=120, bbox_inches="tight")
+            plt.close(ax.figure)
+        else:
+            viz.compare_poses_3d([test3d[args.frame]], ["ground truth"],
+                                 out_path=out)
     elif args.what == "gt2d":
         import matplotlib.pyplot as plt
 

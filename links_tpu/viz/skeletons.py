@@ -63,6 +63,56 @@ def plot_skeleton_2d(pose_2d, ax=None, title=None, color_by_side=True, invert_y=
     return ax
 
 
+# The reference's 32-slot H36M rendering convention
+# (h36m_gt_visualiser.py:88-91, h36m_2d_visualiser.py:87-91): the 17-joint
+# subset scatters into the original 32-slot H36M joint buffer and the
+# skeleton is drawn by walking the kinematic tree in slot space with axis
+# order (x, z, y) and view azim=-45 / elev=15.
+H36M_32SLOT_INDICES = (0, 1, 2, 3, 6, 7, 8, 12, 13, 14, 15, 17, 18, 19,
+                       25, 26, 27)
+H36M_32SLOT_KIN_TREE = np.array(
+    [[0, 12], [12, 13], [13, 14], [15, 14], [13, 17], [17, 18], [18, 19],
+     [13, 25], [25, 26], [26, 27], [0, 1], [1, 2], [2, 3], [0, 6], [6, 7],
+     [7, 8]])
+
+
+def expand_to_32_slots(pose):
+    """(3,17)/(51,) (or (2,17)/(34,)) pose → (C, 32) H36M buffer with the
+    17 subset joints scattered to their original slots
+    (h36m_gt_visualiser.py:88: ``buff_large[(0,1,2,...,27), :] = pose``);
+    unused slots stay zero exactly as in the reference."""
+    p = np.asarray(pose)
+    c = 3 if p.size % 3 == 0 and p.size != 34 else 2
+    p = p.reshape(c, 17)
+    buff = np.zeros((c, 32), p.dtype)
+    buff[:, list(H36M_32SLOT_INDICES)] = p
+    return buff
+
+
+def plot_skeleton_3d_32slot(pose_3d, ax=None, title=None):
+    """3D skeleton drawn the reference's way: 32-slot buffer + kinematic
+    tree + (x, z, y) axis order + azim=-45/elev=15 view
+    (h36m_gt_visualiser.py:88-101) — pixel-convention parity with the
+    reference's shipped renders. ``plot_skeleton_3d`` remains the default
+    (direct 16-edge bone map, side-colored)."""
+    plt = _require_plt()
+    buff = expand_to_32_slots(np.asarray(pose_3d).reshape(3, 17))
+    if ax is None:
+        fig = plt.figure()
+        ax = fig.add_subplot(111, projection="3d")
+        ax.view_init(azim=-45, elev=15)
+    x, y, z = buff[0], buff[2], buff[1]  # reference order = [0, 2, 1]
+    for a, b in H36M_32SLOT_KIN_TREE:
+        ax.plot([x[a], x[b]], [y[a], y[b]], [z[a], z[b]], c=LEFT_COLOR)
+    used = list(H36M_32SLOT_INDICES)
+    ax.scatter(x[used], y[used], z[used], s=8, c="k")
+    ax.set_box_aspect((1, 1, 1))
+    _equal_3d(ax, x[used], y[used], z[used])
+    if title:
+        ax.set_title(title)
+    return ax
+
+
 def _equal_3d(ax, x, y, z):
     r = max(np.ptp(x), np.ptp(y), np.ptp(z)) / 2
     mx, my, mz = x.mean(), y.mean(), z.mean()

@@ -28,6 +28,36 @@ def test_plot_skeletons(poses, tmp_path):
     assert (tmp_path / "cmp.png").exists()
 
 
+def test_32slot_expansion_and_render(poses, tmp_path):
+    """Reference 32-slot convention (h36m_gt_visualiser.py:88-91): the 17
+    joints scatter to their original H36M slots, the kinematic tree edges
+    connect exactly the subset slots, and the renderer draws from it."""
+    import matplotlib.pyplot as plt
+
+    _, p3d = poses
+    buff = viz.expand_to_32_slots(p3d[0])
+    assert buff.shape == (3, 32)
+    from links_tpu.viz.skeletons import H36M_32SLOT_INDICES, H36M_32SLOT_KIN_TREE
+
+    p = np.asarray(p3d[0]).reshape(3, 17)
+    np.testing.assert_allclose(buff[:, list(H36M_32SLOT_INDICES)], p)
+    unused = [i for i in range(32) if i not in H36M_32SLOT_INDICES]
+    np.testing.assert_array_equal(buff[:, unused], 0.0)
+    # every kin-tree endpoint is a populated slot; 16 edges = 16 bones
+    assert H36M_32SLOT_KIN_TREE.shape == (16, 2)
+    assert set(H36M_32SLOT_KIN_TREE.ravel()) <= set(H36M_32SLOT_INDICES)
+
+    ax = viz.plot_skeleton_3d_32slot(p3d[0], title="gt")
+    ax.figure.savefig(tmp_path / "slot32.png")
+    plt.close(ax.figure)
+    assert (tmp_path / "slot32.png").exists()
+
+    # 2D buffer variant
+    p2d, _ = poses
+    b2 = viz.expand_to_32_slots(p2d[0])
+    assert b2.shape == (2, 32)
+
+
 def test_visualise_prediction(poses, tmp_path):
     p2d, p3d = poses
     stacked = jax.tree.map(
