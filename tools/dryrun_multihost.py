@@ -32,6 +32,10 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# scripts outside the repo root must make links_tpu importable themselves
+# (never via PYTHONPATH, which breaks the axon PJRT plugin registration)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 DEVICES_PER_PROC = 4
 N_PROC = 2
 HIDDEN = 64  # tiny shapes: this validates transport + layout, not capacity
