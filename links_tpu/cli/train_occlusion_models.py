@@ -47,6 +47,20 @@ def main(argv=None):
                              "ever puts it in the wandb run name, "
                              "train_occlusion_models.py:44-47, and no "
                              "completer consumes PCA bases)")
+    parser.add_argument("--aug-rotations", type=int, default=2,
+                        help="random y-rotations of the pseudo-3D per step "
+                             "(reference: 2, train_occlusion_models.py:213-"
+                             "296); more widens orientation coverage "
+                             "against completer overfitting")
+    parser.add_argument("--aug-input-noise", type=float, default=0.0,
+                        help="Gaussian jitter on the completers' INPUT "
+                             "slices only (targets stay clean) — denoising "
+                             "regularization against memorizing the frozen "
+                             "lifters' pseudo-3D; units = the root-centered "
+                             "reconstruction space (pose extent ~2-4)")
+    parser.add_argument("--weight-decay", type=float, default=None,
+                        help="override Adam weight decay for this stage "
+                             "(reference: 1e-5 everywhere)")
     C.add_lifter_flags(parser)
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
@@ -54,7 +68,15 @@ def main(argv=None):
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
 
-    cfg = C.resolve_cfg(args, OcclusionTrainConfig(depth=args.translation))
+    import dataclasses
+
+    cfg = C.resolve_cfg(args, OcclusionTrainConfig(
+        depth=args.translation, n_rot=args.aug_rotations,
+        input_noise=args.aug_input_noise))
+    if args.weight_decay is not None:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim,
+                                           weight_decay=args.weight_decay))
     train_data, test_data, n_train, packed = C.load_train_test_or_packed(args)
 
     lifters = C.load_all_lifters(args)

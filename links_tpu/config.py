@@ -82,5 +82,12 @@ class OcclusionTrainConfig:
     batch_size: int = 256
     n_epochs: int = 10
     depth: float = 10.0
+    # Anti-overfitting knobs (defaults = the reference recipe): number of
+    # extra random y-rotations of the pseudo-3D (reference: 2,
+    # train_occlusion_models.py:213-296) and Gaussian jitter applied to the
+    # completers' input slices only (reference: none). RESULTS.md measures
+    # both against the scenario-PA regression they target.
+    n_rot: int = 2
+    input_noise: float = 0.0
     optim: OptimConfig = OptimConfig()
     bf16: bool = True

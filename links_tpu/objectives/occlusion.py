@@ -89,10 +89,14 @@ def _group_apply(completers, names, x_by_name, policy):
     return jax.vmap(lambda p, x: completer_apply(p, x, policy))(stacked, xs)
 
 
-def completer_losses(completers, pose_3d, policy: nn.Policy = nn.F32):
+def completer_losses(completers, pose_3d, policy: nn.Policy = nn.F32,
+                     input_pose_3d=None):
     """Per-completer MSE (squared error summed over dims, meaned over batch;
-    train_occlusion_models.py:203-210) for one orientation."""
-    inputs = part_inputs(pose_3d)
+    train_occlusion_models.py:203-210) for one orientation.
+    ``input_pose_3d`` optionally decouples the completers' INPUT view from
+    the regression targets (both default to the same pose, the reference
+    recipe) — the denoising-regularization knob of --aug-input-noise."""
+    inputs = part_inputs(pose_3d if input_pose_3d is None else input_pose_3d)
     targets = part_targets(pose_3d)
     losses = {}
     limb_out = _group_apply(completers, LIMB_GROUP, inputs, policy)
@@ -257,27 +261,39 @@ def dropout_eval_poses(completers, lifters, test_2d, depth: float = 10.0,
     return out
 
 
-def occlusion_loss(completers, pose_3d, key, policy: nn.Policy = nn.F32):
-    """Full stage-4 loss: MSE over identity + two cumulative random
-    y-rotations (train_occlusion_models.py:213-296). Returns (loss, aux)
-    with the reference's `threed_loss_*` keys.
+def occlusion_loss(completers, pose_3d, key, policy: nn.Policy = nn.F32,
+                   n_rot: int = 2, input_noise: float = 0.0):
+    """Full stage-4 loss: MSE over identity + ``n_rot`` cumulative random
+    y-rotations (train_occlusion_models.py:213-296; reference n_rot=2).
+    Returns (loss, aux) with the reference's `threed_loss_*` keys.
 
     TPU note: the reference runs the 8 completers once per orientation (24
     sequential forwards). The cumulative rotations are inherently
-    sequential, but the completer passes are not — the three orientation
-    batches concatenate into one (3B, 3, 17) batch and every completer runs
-    ONCE at 3x batch. Since the orientation groups are equal-sized,
-    3 * mean(concat) == sum of the three per-orientation means exactly, so
-    the loss (and gradients) match the sequential form."""
-    k1, k2 = jax.random.split(key)
+    sequential, but the completer passes are not — the orientation batches
+    concatenate into one ((n_rot+1)·B, 3, 17) batch and every completer
+    runs ONCE. Since the orientation groups are equal-sized,
+    (n_rot+1) * mean(concat) == sum of the per-orientation means exactly,
+    so the default configuration matches the sequential reference form.
+
+    Anti-overfitting knobs (the completers memorize the frozen lifters'
+    pseudo-3D — scenario PA regresses while train MSE falls, RESULTS.md):
+    ``n_rot`` > 2 widens orientation coverage; ``input_noise`` > 0 jitters
+    only the completers' INPUT slices (targets stay clean — denoising
+    regularization), scaled to the root-centered reconstruction-space
+    units the pseudo-3D lives in."""
+    keys = jax.random.split(key, n_rot + 1)
     n = pose_3d.shape[0]
     poses = [pose_3d]
-    for k in (k1, k2):
+    for k in keys[:n_rot]:
         y_ang = (jax.random.uniform(k, (n, 1)) - 0.5) * 1.99 * PI
         ry = rotation_about_y(y_ang)
         poses.append(jnp.matmul(ry, poses[-1], precision="highest"))
-    per = completer_losses(completers, jnp.concatenate(poses, axis=0), policy)
-    total = {name: 3.0 * v for name, v in per.items()}
+    cat = jnp.concatenate(poses, axis=0)
+    inp = cat
+    if input_noise:
+        inp = cat + input_noise * jax.random.normal(keys[-1], cat.shape)
+    per = completer_losses(completers, cat, policy, input_pose_3d=inp)
+    total = {name: float(n_rot + 1) * v for name, v in per.items()}
     aux = {f"threed_loss_{name}": v for name, v in total.items()}
     loss = sum(total.values())
     aux["loss"] = loss

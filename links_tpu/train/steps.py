@@ -136,6 +136,8 @@ def build_occlusion_step(leg_params, torso_params, optimizer,
             leg_params, torso_params, batch, cfg.depth, policy
         )
         pose_3d = jax.lax.stop_gradient(pose_3d)
-        return occ_obj.occlusion_loss(params, pose_3d, key, policy)
+        return occ_obj.occlusion_loss(params, pose_3d, key, policy,
+                                      n_rot=cfg.n_rot,
+                                      input_noise=cfg.input_noise)
 
     return _make_step(loss_fn, optimizer)

@@ -221,3 +221,16 @@ def test_occlusion_loss_finite_and_sums(rng):
     parts = [v for k, v in aux.items() if k.startswith("threed_loss_")]
     assert len(parts) == 8
     np.testing.assert_allclose(float(loss), float(sum(parts)), rtol=1e-5)
+
+    # augmentation knobs: defaults reproduce the reference recipe exactly;
+    # extra rotations / input noise genuinely change the objective
+    loss_ref, _ = occlusion_loss(completers, pose3d, jax.random.PRNGKey(3),
+                                 n_rot=2, input_noise=0.0)
+    np.testing.assert_allclose(float(loss_ref), float(loss), rtol=0)
+    loss_rot, _ = occlusion_loss(completers, pose3d, jax.random.PRNGKey(3),
+                                 n_rot=5)
+    loss_noise, _ = occlusion_loss(completers, pose3d, jax.random.PRNGKey(3),
+                                   input_noise=0.1)
+    assert np.isfinite(float(loss_rot)) and np.isfinite(float(loss_noise))
+    assert float(loss_rot) != float(loss)
+    assert float(loss_noise) != float(loss)
