@@ -235,15 +235,28 @@ def _measure_serving(batch: int, quant: str | None = None,
         models.init_lifter(keys[0], models.SIDE_JOINTS),
         models.init_lifter(keys[1], models.SIDE_JOINTS),
     )
-    if quant == "int8":
-        from links_tpu.ops.quant import quantize_params
-
-        stacked = quantize_params(stacked)
     from links_tpu.core import nn
 
     pol = nn.BF16 if policy == "bf16" else nn.F32
     poses = jax.random.normal(keys[2], (batch, 34), jnp.float32) * 0.1
     poses = poses.reshape(-1, 2, 17).at[:, :, 0].set(0.0).reshape(-1, 34)
+    if quant == "int8":
+        from links_tpu.ops.quant import quantize_params
+
+        stacked = quantize_params(stacked)
+    elif quant == "int8-static":
+        import numpy as np
+
+        from links_tpu.core.skeleton import split_data_left_right
+        from links_tpu.models import lifter_apply
+        from links_tpu.ops.quant import quantize_stacked_static
+
+        calib = np.asarray(poses[: min(batch, 1024)])
+
+        def _run(p, i):
+            lifter_apply(p, np.asarray(split_data_left_right(calib)[i]))
+
+        stacked, _, _ = quantize_stacked_static(stacked, _run)
 
     # Dependency-chained timing: each call consumes the previous output, so
     # calls serialize on the device. Per-call block_until_ready on repeated
@@ -389,6 +402,16 @@ def main(argv=None):
             ms, pps = _measure_serving(batch, quant="int8")
             print(json.dumps({
                 "metric": f"serve_left_right_batch{batch}_int8_latency",
+                "value": round(ms, 3), "unit": "ms",
+                "poses_per_sec": round(pps, 1),
+            }))
+        # int8-static (--quant int8-static): calibrated per-tensor
+        # activation scales remove the per-row dynamic-quant VPU work —
+        # the term that inverted dynamic int8 at 16k (VERDICT r2 next #5)
+        for batch in (256, 4096, 16384):
+            ms, pps = _measure_serving(batch, quant="int8-static")
+            print(json.dumps({
+                "metric": f"serve_left_right_batch{batch}_int8_static_latency",
                 "value": round(ms, 3), "unit": "ms",
                 "poses_per_sec": round(pps, 1),
             }))
