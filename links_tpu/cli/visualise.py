@@ -24,10 +24,15 @@ def main(argv=None):
                         help="sequence length for --what video (starting at "
                              "--frame)")
     parser.add_argument("--fps", type=int, default=25)
-    parser.add_argument("--scenario", default="left",
+    parser.add_argument("--scenario", default=None,
                         choices=["la", "ra", "ll", "rl", "torso", "legs",
                                  "left", "right"],
-                        help="occlusion scenario")
+                        help="occlusion scenario (--what occlusion default: "
+                             "left). With --what video: render the 3-panel "
+                             "occlusion clip — GT | naive lift of the "
+                             "occluded 2D | completer-recovered — the "
+                             "reference's shipped occlusion comparison "
+                             "videos (videos/README.md:12-17)")
     parser.add_argument("--flow", default=C.FULL_FLOW, help="flow artifact for --what samples")
     parser.add_argument("--style", choices=["bones", "32slot"],
                         default="bones",
@@ -83,32 +88,56 @@ def main(argv=None):
     elif args.what == "occlusion":
         lifters = C.load_all_lifters(args)
         completers = C.load_params(args, _name(C.OCCLUSION))
+        scenario = args.scenario or "left"
         _, err = viz.visualise_occlusion(completers, lifters, test2d, test3d,
-                                         args.frame, args.scenario, args.depth,
+                                         args.frame, scenario, args.depth,
                                          out_path=out)
-        print(f"frame {args.frame} scenario {args.scenario}: PA {err:.2f}mm")
+        print(f"frame {args.frame} scenario {scenario}: PA {err:.2f}mm")
     elif args.what == "video":
         # GT-vs-prediction comparison clip (the reference ships these
-        # pre-rendered, videos/README.md:1-17)
+        # pre-rendered, videos/README.md:1-17); with --scenario, the
+        # 3-panel occlusion clip (GT | naive | recovered)
         import numpy as np
 
         from links_tpu.metrics import procrustes_align
         from links_tpu.objectives import lift_left_right_eval
 
-        stacked = C.load_stacked_lr(args)
         if args.frames < 1:
             raise SystemExit(f"--frames must be >= 1 (got {args.frames})")
         lo, hi = args.frame, min(args.frame + args.frames, test2d.shape[0])
 
-        @jax.jit
-        def _aligned_pred(params, p2d, gt3d):
-            pred = lift_left_right_eval(params, p2d, args.depth, "right")
-            return procrustes_align(gt3d, pred)
+        if args.scenario:
+            from links_tpu.objectives import occlusion as occ
 
-        aligned = _aligned_pred(stacked, test2d[lo:hi], test3d[lo:hi])
-        gt = np.asarray(test3d[lo:hi]).reshape(-1, 3, 17)
-        viz.render_comparison_video(gt, np.asarray(aligned), out,
-                                    fps=args.fps)
+            lifters = C.load_all_lifters(args)
+            completers = C.load_params(args, _name(C.OCCLUSION))
+
+            @jax.jit
+            def _scenario_poses(cs, ls, p2d, gt3d):
+                rec, naive = occ.dropout_eval_poses(
+                    cs, ls, p2d, args.depth)[args.scenario]
+                return procrustes_align(gt3d, rec), procrustes_align(gt3d, naive)
+
+            rec, naive = _scenario_poses(completers, lifters,
+                                         test2d[lo:hi], test3d[lo:hi])
+            gt = np.asarray(test3d[lo:hi]).reshape(-1, 3, 17)
+            viz.render_multi_video(
+                [gt, np.asarray(naive), np.asarray(rec)],
+                ["ground truth",
+                 f"naive lift ({args.scenario} occluded)",
+                 "occlusion-recovered"], out, fps=args.fps)
+        else:
+            stacked = C.load_stacked_lr(args)
+
+            @jax.jit
+            def _aligned_pred(params, p2d, gt3d):
+                pred = lift_left_right_eval(params, p2d, args.depth, "right")
+                return procrustes_align(gt3d, pred)
+
+            aligned = _aligned_pred(stacked, test2d[lo:hi], test3d[lo:hi])
+            gt = np.asarray(test3d[lo:hi]).reshape(-1, 3, 17)
+            viz.render_comparison_video(gt, np.asarray(aligned), out,
+                                        fps=args.fps)
     elif args.what == "samples":
         flow = C.load_flow(args, args.flow)
         dim = flow.perm.shape[-1]

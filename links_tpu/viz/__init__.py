@@ -7,4 +7,5 @@ from links_tpu.viz.skeletons import (  # noqa: F401
     plot_skeleton_3d,
     plot_skeleton_3d_32slot,
     render_comparison_video,
+    render_multi_video,
 )

@@ -139,19 +139,28 @@ def render_comparison_video(gt_seq, pred_seq, out_path, fps: int = 25):
     """GT-vs-prediction comparison video (reference ships 14 pre-rendered
     videos, videos/README.md:1-17; this is the writer). gt_seq/pred_seq:
     (T, 3, 17)."""
+    return render_multi_video([gt_seq, pred_seq],
+                              ["ground truth", "prediction"], out_path, fps)
+
+
+def render_multi_video(seqs, titles, out_path, fps: int = 25):
+    """N-panel skeleton comparison clip — e.g. the occlusion scenario
+    layout (GT | naive lift of the occluded 2D | completer-recovered),
+    mirroring the reference's shipped occlusion videos
+    (videos/README.md:12-17). Each seq: (T, 3, 17), equal lengths."""
     plt = _require_plt()
     from matplotlib import animation
 
-    fig = plt.figure(figsize=(8, 4))
-    axes = [fig.add_subplot(1, 2, i + 1, projection="3d") for i in range(2)]
+    n = len(seqs)
+    fig = plt.figure(figsize=(4 * n, 4))
+    axes = [fig.add_subplot(1, n, i + 1, projection="3d") for i in range(n)]
 
     def draw(t):
-        for ax, seq, title in ((axes[0], gt_seq, "ground truth"),
-                               (axes[1], pred_seq, "prediction")):
+        for ax, seq, title in zip(axes, seqs, titles):
             ax.cla()
             plot_skeleton_3d(seq[t], ax=ax, title=title)
 
-    anim = animation.FuncAnimation(fig, draw, frames=len(gt_seq))
+    anim = animation.FuncAnimation(fig, draw, frames=len(seqs[0]))
     anim.save(out_path, fps=fps, writer="ffmpeg" if _has_ffmpeg() else "pillow")
     plt.close(fig)
     return out_path

@@ -100,3 +100,7 @@ def test_comparison_video(poses, tmp_path):
     seq = np.asarray(p3d[:4]).reshape(4, 3, 17)
     out = viz.render_comparison_video(seq, seq, tmp_path / "cmp.gif", fps=2)
     assert (tmp_path / "cmp.gif").exists()
+    # N-panel variant (the occlusion-scenario clip layout: GT|naive|recovered)
+    viz.render_multi_video([seq, seq, seq], ["gt", "naive", "recovered"],
+                           tmp_path / "occ3.gif", fps=2)
+    assert (tmp_path / "occ3.gif").exists()

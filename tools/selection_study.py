@@ -1,0 +1,60 @@
+"""Unsupervised-vs-GT checkpoint selection study (VERDICT r2 next #8).
+
+Reads a lifter-stage JSONL curve (which, since round 3, logs per
+validation epoch BOTH the GT criterion — pa_mean / pa — and the
+unsupervised criteria val_nll / val_unsup_loss) and reports, per curve:
+
+  * the epoch + PA each criterion would have selected;
+  * the PA cost of unsupervised selection vs GT selection (mm).
+
+If selecting on val_nll lands within a few mm of GT-PA selection, the
+pipeline is end-to-end unsupervised including model selection
+(--select-by nll); RESULTS.md carries the table.
+
+Usage:
+    python tools/selection_study.py results/r3/*.jsonl runs/r3/models_gt/left_right_lifter.jsonl
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def study(path: str):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "_config" in rec:
+                continue
+            pa = rec.get("pa_mean", rec.get("pa"))
+            if pa is None or "val_nll" not in rec:
+                continue
+            rows.append((int(rec["epoch"]), float(pa),
+                         float(rec["val_nll"]),
+                         float(rec["val_unsup_loss"])))
+    if not rows:
+        return None
+    by_pa = min(rows, key=lambda r: r[1])
+    by_nll = min(rows, key=lambda r: r[2])
+    by_loss = min(rows, key=lambda r: r[3])
+    return {
+        "curve": path,
+        "epochs": len(rows),
+        "gt_pa_select": {"epoch": by_pa[0], "pa": round(by_pa[1], 2)},
+        "nll_select": {"epoch": by_nll[0], "pa": round(by_nll[1], 2),
+                       "pa_cost_mm": round(by_nll[1] - by_pa[1], 2)},
+        "unsup_loss_select": {"epoch": by_loss[0], "pa": round(by_loss[1], 2),
+                              "pa_cost_mm": round(by_loss[1] - by_pa[1], 2)},
+        "final_epoch_pa": round(rows[-1][1], 2),
+    }
+
+
+def main():
+    out = [r for p in sys.argv[1:] if (r := study(p)) is not None]
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
