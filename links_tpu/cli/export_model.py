@@ -67,6 +67,10 @@ def main(argv=None):
         raise SystemExit("--fused is a live-serving option (links-lift); "
                          "Pallas kernels are not exported through "
                          "jax.export — use the XLA path for artifacts")
+    if args.quant == "int8-static" and args.scenario:
+        raise SystemExit(
+            "--quant int8-static calibrates the plain left_right/leg_torso "
+            "forwards only; export the --scenario program with --quant int8")
 
     from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
 
@@ -93,16 +97,22 @@ def main(argv=None):
                 scenarios=(scenario,))[scenario]
             return poses.reshape(p2d.shape[0], 51)
     elif args.mode == "left_right":
-        stacked = _maybe_quant(C.load_stacked_lr(args))
+        stacked = C.load_stacked_lr(args)
+        stacked = (C.static_quant_lr(args, stacked)
+                   if args.quant == "int8-static" else _maybe_quant(stacked))
 
         def fwd(p2d):
             return lift_left_right_eval(stacked, p2d, args.depth, args.choice,
                                         policy)
     else:
-        legs = _maybe_quant(C.load_params(args, _name(C.LIFTER_LEGS),
-                                          pt_loader=ckpt.load_lifter_pt))
-        torso = _maybe_quant(C.load_params(args, _name(C.LIFTER_TORSO),
-                                           pt_loader=ckpt.load_lifter_pt))
+        legs = C.load_params(args, _name(C.LIFTER_LEGS),
+                             pt_loader=ckpt.load_lifter_pt)
+        torso = C.load_params(args, _name(C.LIFTER_TORSO),
+                              pt_loader=ckpt.load_lifter_pt)
+        if args.quant == "int8-static":
+            legs, torso = C.static_quant_leg_torso(args, legs, torso)
+        else:
+            legs, torso = _maybe_quant(legs), _maybe_quant(torso)
 
         def fwd(p2d):
             return lift_leg_torso_eval(legs, torso, p2d, args.depth, policy)
