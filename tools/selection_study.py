@@ -27,7 +27,8 @@ def study(path: str):
         for line in f:
             rec = json.loads(line)
             if "_config" in rec:
-                continue
+                rows = []  # the logger appends across restarts: a fresh
+                continue   # config line starts a new run — keep the last
             pa = rec.get("pa_mean", rec.get("pa"))
             if pa is None or "val_nll" not in rec:
                 continue
