@@ -14,15 +14,20 @@ cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache_tpu
 R="runs/r3"
 mkdir -p "$R/models_gt" "$R/models_det" results/r3
-CORPUS="--data $R/corpus.pkl --synthetic --synthetic-n 16384 --synthetic-test-n 4096 --seed 42 --test-scale auto"
+# --save-every 10: per-epoch orbax writes of the ~29M-param train state
+# dominate wall clock on the tunneled chip (the best-tracker still
+# checkpoints improvements whenever validation runs)
+CORPUS="--data $R/corpus.pkl --synthetic --synthetic-n 16384 --synthetic-test-n 4096 --seed 42 --test-scale auto --save-every 10"
 LIFT="--bone-means data"
 
 run_leg () {  # $1 = gt|det, $2 = extra flags
   local M="$R/models_$1" X="$2"
+  if [ ! -d "$R/models_$1/flow_torso" ]; then
   echo "=== [$1] stage 1: full-pose flow ==="
   time python -m links_tpu.cli.train_full_pose_norm_flow $CORPUS $X --model-dir "$M" --clip-grad 10.0
   echo "=== [$1] stage 2: part flows ==="
   time python -m links_tpu.cli.train_part_norm_flows $CORPUS $X --model-dir "$M" --clip-grad 10.0
+  fi
   echo "=== [$1] stage 3a: left/right lifters ==="
   time python -m links_tpu.cli.train_left_right_lifter $CORPUS $X $LIFT --model-dir "$M"
   echo "=== [$1] stage 3b: leg/torso lifters ==="
