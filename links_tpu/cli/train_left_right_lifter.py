@@ -131,10 +131,17 @@ def main(argv=None):
     step = build_left_right_step(frozen, optimizer, cfg, bone_means)
     state = init_state(stacked, optimizer)
 
-    _, epoch_fn, data2d, (test2d, test3d) = C.train_feed(
+    mesh, epoch_fn, data2d, (test2d, test3d) = C.train_feed(
         args, cfg, step, train_data, packed,
         test_data.poses_2d, test_data.poses_3d,
     )
+    # _validate_unsup mixes these with the mesh-replicated train state in
+    # one jit — they must live on the same devices, not just device 0
+    from links_tpu.train import parallel
+
+    frozen_v = parallel.replicate(frozen, mesh)
+    bone_means_v = (None if bone_means is None
+                    else parallel.replicate(bone_means, mesh))
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
     best = C.BestTracker(C.select_metric(args, "pa_mean"))
     # fixed key: the unsupervised validation criterion must be comparable
@@ -157,7 +164,7 @@ def main(argv=None):
                                   depth=cfg.depth).items()})
             rec["pa_mean"] = (rec["pa_left"] + rec["pa_right"]) / 2
             rec.update({k: float(v) for k, v in
-                        _validate_unsup(state.params, frozen, bone_means,
+                        _validate_unsup(state.params, frozen_v, bone_means_v,
                                         test2d, val_key, cfg).items()})
             if best.update(args, epoch, rec, {C.LIFTER_LR: state.params}):
                 msg += " [best]"

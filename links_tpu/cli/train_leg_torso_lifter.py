@@ -105,10 +105,17 @@ def main(argv=None):
     step = build_leg_torso_step(frozen, optimizer, cfg, bone_means)
     state = init_state(params, optimizer)
 
-    _, epoch_fn, data2d, (test2d, test3d) = C.train_feed(
+    mesh, epoch_fn, data2d, (test2d, test3d) = C.train_feed(
         args, cfg, step, train_data, packed,
         test_data.poses_2d, test_data.poses_3d,
     )
+    # _validate_unsup mixes these with the mesh-replicated train state in
+    # one jit — they must live on the same devices, not just device 0
+    from links_tpu.train import parallel
+
+    frozen_v = parallel.replicate(frozen, mesh)
+    bone_means_v = (None if bone_means is None
+                    else parallel.replicate(bone_means, mesh))
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
     best = C.BestTracker(C.select_metric(args, "pa"))
     val_key = jax.random.PRNGKey(args.seed + 20_000)
@@ -128,7 +135,7 @@ def main(argv=None):
                         _validate(state.params, test2d, test3d,
                                   depth=cfg.depth).items()})
             rec.update({k: float(v) for k, v in
-                        _validate_unsup(state.params, frozen, bone_means,
+                        _validate_unsup(state.params, frozen_v, bone_means_v,
                                         test2d, val_key, cfg).items()})
             if best.update(args, epoch, rec,
                            {C.LIFTER_LEGS: state.params["legs"],
