@@ -286,16 +286,32 @@ def train_feed(args, cfg, step, train_data, packed, *test_arrays):
     ``epoch_fn(state, carry, key)`` is either the device-resident DP epoch
     scan (default) or the native streaming feed (--packed-data); stage
     loops are identical under both."""
+    import jax as _jax
+
     from links_tpu.train import feed, parallel
     from links_tpu.train import dp_epoch_fn
 
     mesh = parallel.make_mesh(args.num_devices)
-    test_sharded = tuple(parallel.shard_batch(a, mesh) for a in test_arrays)
+
+    def _shard_eval(a):
+        # batch-sharding requires divisibility by the mesh; eval splits can
+        # be ragged (e.g. --no-gt-2d drops incomplete detector frames), and
+        # padding would corrupt the metric means — replicate those instead
+        if a.shape[0] % mesh.devices.size == 0:
+            return parallel.shard_batch(a, mesh)
+        return _jax.device_put(a, parallel.replicated(mesh))
+
+    test_sharded = tuple(_shard_eval(a) for a in test_arrays)
     if packed is not None:
         epoch_fn, carry = feed.packed_epoch_fn(packed, cfg.batch_size, step,
                                                mesh)
     else:
-        carry = parallel.shard_batch(train_data.poses_2d, mesh)
+        # batch-sharding needs row counts divisible by the mesh; a ragged
+        # train split (detector filtering) trims its remainder — the epoch
+        # scan drops the ragged tail batch anyway
+        n = train_data.poses_2d.shape[0]
+        n_trim = n - (n % mesh.devices.size)
+        carry = parallel.shard_batch(train_data.poses_2d[:n_trim], mesh)
         epoch_fn = dp_epoch_fn(step, cfg.batch_size, mesh)
     return mesh, epoch_fn, carry, test_sharded
 
