@@ -24,15 +24,31 @@ from links_tpu.objectives import lift_left_right_eval, lift_leg_torso_eval
 def _eval_from_detections(args, occ, completers, lifters, policy):
     """Occlusion recovery on the test split's GENUINELY missing detector
     keypoints. Frames with a non-empty missing-joint set are assigned to
-    the smallest DROPOUT_SCENARIO_JOINTS scenario covering that set (frames
-    no scenario covers — e.g. root lost, or joints missing on both sides —
-    are counted as 'uncovered'); the scenario's completer infills the
-    missing 3D part and per-frame PA-MPJPE is compared against the naive
-    full lift of the same corrupted 2D. One jitted program computes all 8
-    scenarios' per-row errors over the full split; selection/averaging is
-    host-side so row counts per scenario stay out of the compiled shapes."""
+    the smallest DROPOUT_SCENARIO_JOINTS scenario covering that set; the
+    scenario's completer infills the missing 3D part and per-frame
+    PA-MPJPE is compared against the naive full lift of the same corrupted
+    2D. One jitted program computes all 8 scenarios' per-row errors over
+    the full split; selection/averaging is host-side so row counts per
+    scenario stay out of the compiled shapes.
+
+    Cross-side patterns (VERDICT r3 next #7 — previously 17% of incomplete
+    frames went unserved): frames no single scenario covers compose TWO
+    completers — the smallest scenario pair whose joint union covers the
+    missing set (torso+legs spans all 16 non-root joints, so every
+    non-root pattern is servable). The merged pose takes the first
+    scenario's recovery and overwrites the still-missing joints from the
+    second's. A lost root (the one joint no completer predicts — it is the
+    anchor) is imputed at the hip midpoint in raw pixel space when both
+    hips were detected (root = pelvis), BEFORE normalization, so
+    root-centering works; only frames missing the root AND a hip remain
+    genuinely unservable ('det_unserved'). The reference caps at the 8
+    fixed part views (train_occlusion_models.py:563-570) and cannot
+    compose."""
+    import itertools
+
     import numpy as np
 
+    from links_tpu.core.geometry import normalize_maxabs
     from links_tpu.data.datasets import read_pickle_cached
 
     path, loader, _, test_s, test_norm, _ = C._split_spec(args)
@@ -42,31 +58,51 @@ def _eval_from_detections(args, occ, completers, lifters, policy):
     raw2d = np.concatenate([np.asarray(d[s]["poses_2d_pred"]) for s in test_s])
     missing = np.all(raw2d == 0.0, axis=2)  # (N, 17)
 
-    # normalized 2D over ALL frames (incl. incomplete), then re-zero the
-    # missing joints: root-centering/scaling must not leak a fake position
-    # for an undetected keypoint (drop_keypoints semantics)
+    # root imputation (pixel space, pre-normalization)
+    root_fix = missing[:, 0] & ~missing[:, 1] & ~missing[:, 4]
+    raw2d = raw2d.copy()
+    raw2d[root_fix, 0] = 0.5 * (raw2d[root_fix, 1] + raw2d[root_fix, 4])
+    missing = missing.copy()
+    missing[root_fix, 0] = False
+
+    # normalized 2D over ALL frames (incl. incomplete) — the same
+    # transform datasets._build applies, run here on the root-imputed
+    # pixels — then re-zero the missing joints: root-centering/scaling
+    # must not leak a fake position for an undetected keypoint
+    # (drop_keypoints semantics)
+    if test_norm is not None:
+        flat = raw2d.transpose(0, 2, 1).reshape(-1, 34).astype(np.float32)
+        p2d = np.asarray(jax.jit(test_norm)(jax.numpy.asarray(flat)))
+    else:
+        p2d = np.asarray(jax.jit(normalize_maxabs)(
+            jax.numpy.asarray(raw2d.astype(np.float32))))
+    p2d = p2d.reshape(-1, 2, 17)
+    p2d = (p2d * ~missing[:, None, :]).reshape(-1, 34).astype(np.float32)
     ds_all = loader(path, test_s, normalize_func=test_norm, use_gt=False,
                     complete_only=False)
-    p2d = np.asarray(ds_all.poses_2d).reshape(-1, 2, 17)
-    p2d = (p2d * ~missing[:, None, :]).reshape(-1, 34).astype(np.float32)
     p3d = ds_all.poses_3d
+
+    from links_tpu.objectives import lift_left_right_eval
 
     @jax.jit
     def _per_row(cs, ls, gt, p2d_in):
-        out = {}
+        out, recs = {}, {}
         for name, (rec, naive) in occ.dropout_eval_poses(
                 cs, ls, p2d_in, args.depth, choice=args.choice,
                 policy=policy).items():
             out[name] = (metrics.pa_mpjpe(gt, rec),
                          metrics.pa_mpjpe(gt, naive))
-        return out
+            recs[name] = rec
+        return out, recs
 
-    pa = {k: (np.asarray(r), np.asarray(nv)) for k, (r, nv) in
-          _per_row(completers, lifters, p3d, jax.numpy.asarray(p2d)).items()}
+    res, recs = _per_row(completers, lifters, p3d, jax.numpy.asarray(p2d))
+    pa = {k: (np.asarray(r), np.asarray(nv)) for k, (r, nv) in res.items()}
+    recs = {k: np.asarray(v) for k, v in recs.items()}
 
     # smallest covering scenario per frame
     names = sorted(occ.DROPOUT_SCENARIO_JOINTS,
                    key=lambda n: len(occ.DROPOUT_SCENARIO_JOINTS[n]))
+    jsets = {n: frozenset(occ.DROPOUT_SCENARIO_JOINTS[n]) for n in names}
     jmasks = {n: np.isin(np.arange(17), occ.DROPOUT_SCENARIO_JOINTS[n])
               for n in names}
     incomplete = missing.any(axis=1)
@@ -80,6 +116,7 @@ def _eval_from_detections(args, occ, completers, lifters, policy):
         "det_frames": int(missing.shape[0]),
         "det_complete_frac": float(1.0 - incomplete.mean()),
         "det_uncovered": int((incomplete & (assigned == "")).sum()),
+        "det_root_imputed": int(root_fix.sum()),
     }
     for n in names:
         sel = assigned == n
@@ -96,6 +133,60 @@ def _eval_from_detections(args, occ, completers, lifters, policy):
         out["det_pa_naive_mean"] = float(np.mean(
             [pa[n][1][i] for i, n in zip(np.where(covered)[0],
                                          assigned[covered])]))
+
+    # --- completer composition for the frames above ---
+    uncovered_idx = np.where(incomplete & (assigned == ""))[0]
+    pair_order = sorted(
+        itertools.combinations(names, 2),
+        key=lambda p: len(jsets[p[0]]) + len(jsets[p[1]]))
+    merged_rows, merged_idx, pair_of = [], [], []
+    for i in uncovered_idx:
+        M = frozenset(np.where(missing[i])[0])
+        pick = next((p for p in pair_order
+                     if M <= (jsets[p[0]] | jsets[p[1]])), None)
+        if pick is None:  # root (joint 0) still missing: unservable
+            continue
+        s1, s2 = pick
+        m = recs[s1][i].reshape(3, 17).copy()
+        cols = sorted(M - jsets[s1])
+        m[:, cols] = recs[s2][i].reshape(3, 17)[:, cols]
+        merged_rows.append(m.reshape(51))
+        merged_idx.append(i)
+        pair_of.append(f"{s1}+{s2}")
+    out["det_n_composed"] = len(merged_idx)
+    out["det_unserved"] = int(len(uncovered_idx) - len(merged_idx))
+    if merged_idx:
+        sel = np.asarray(merged_idx)
+        merged = jax.numpy.asarray(np.stack(merged_rows))
+        gt_sel = jax.numpy.asarray(np.asarray(p3d)[sel])
+        p2d_sel = jax.numpy.asarray(p2d[sel])
+
+        @jax.jit
+        def _pa_composed(ls, gt, m, p2):
+            stacked = jax.tree.map(
+                lambda a, b: jax.numpy.stack([a, b]), ls["left"],
+                ls["right"])
+            naive = lift_left_right_eval(stacked, p2, args.depth,
+                                         args.choice, policy)
+            return metrics.pa_mpjpe(gt, m), metrics.pa_mpjpe(gt, naive)
+
+        pa_c, pa_nv = _pa_composed(lifters, gt_sel, merged, p2d_sel)
+        pa_c, pa_nv = np.asarray(pa_c), np.asarray(pa_nv)
+        out["det_pa_composed"] = float(pa_c.mean())
+        out["det_naive_pa_composed"] = float(pa_nv.mean())
+        for p in sorted(set(pair_of)):
+            psel = np.asarray([q == p for q in pair_of])
+            out[f"det_n_pair_{p}"] = int(psel.sum())
+            out[f"det_pa_pair_{p}"] = float(pa_c[psel].mean())
+        # pooled over EVERY served incomplete frame (singles + composed)
+        singles_pa = [pa[n][0][i] for i, n in zip(np.where(covered)[0],
+                                                  assigned[covered])]
+        singles_nv = [pa[n][1][i] for i, n in zip(np.where(covered)[0],
+                                                  assigned[covered])]
+        out["det_pa_all_served_mean"] = float(
+            np.mean(np.concatenate([singles_pa, pa_c])))
+        out["det_naive_pa_all_served_mean"] = float(
+            np.mean(np.concatenate([singles_nv, pa_nv])))
     return out
 
 
@@ -210,6 +301,12 @@ def main(argv=None):
 
         lifters = _maybe_quant(C.load_all_lifters(args))
         completers = _maybe_quant(C.load_params(args, _name(C.OCCLUSION)))
+        if args.quant == "int8-static":
+            # maybe_quantize has no calibration path for the occlusion
+            # trees, so these forwards ran with DYNAMIC int8 scales even
+            # though --quant said int8-static; record that in the results
+            # instead of letting the JSON silently over-claim (ADVICE r3)
+            results["quant_fallback_dynamic"] = ["lifters", "completers"]
 
     if args.from_detections:
         if args.gt_2d:
@@ -263,7 +360,8 @@ def main(argv=None):
                 continue
             note = (" [unscaled reconstruction units, not mm]"
                     if k == "mpjpe" else "")
-            print(f"{k}: {v:.4f}{note}")
+            v = f"{v:.4f}" if isinstance(v, float) else v
+            print(f"{k}: {v}{note}")
     return results
 
 

@@ -62,6 +62,11 @@ class Coalescer:
     ``max_merge_chunks`` bounds a merged run (memory + head-of-line
     fairness): at most that many chunk-multiples of rows merge into one
     execution; the rest stay queued for the next.
+
+    Failure isolation: when a MERGED run raises, each co-batched request
+    is retried individually so one poisoned payload cannot 500 unrelated
+    concurrent requests; only the request(s) that fail solo receive the
+    error (tests/test_serve.py::test_coalescer_failure_isolation).
     """
 
     _CLOSE = object()
@@ -122,9 +127,23 @@ class Coalescer:
                    np.concatenate([p[0] for p in pending]))
             try:
                 out = _chunked(self.fn, arr, self.batch)
-            except Exception as e:  # deliver the failure to every waiter
-                for _, ev, slot in pending:
+            except Exception as e:
+                # A merged run failed. Don't 500 every co-batched waiter
+                # for one poisoned request (ADVICE r3): retry each request
+                # individually so only the one(s) that actually fail see
+                # the error. Solo runs deliver their failure directly.
+                if len(pending) == 1:
+                    _, ev, slot = pending[0]
                     slot["err"] = e
+                    ev.set()
+                    continue
+                for poses, ev, slot in pending:
+                    try:
+                        slot["out"] = _chunked(self.fn, poses, self.batch)
+                        self.stats["device_batches"] += 1
+                        self.stats["merged_requests"] += 1
+                    except Exception as e_i:
+                        slot["err"] = e_i
                     ev.set()
                 continue
             self.stats["device_batches"] += 1

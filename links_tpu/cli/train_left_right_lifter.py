@@ -36,12 +36,17 @@ def _validate(stacked_params, test_2d, test_3d, depth: float = 10.0):
     """Reference validation_step (train_left_right_lifter.py:437-499), the
     per-sample numpy Procrustes loop replaced by one batched device SVD."""
     out = {}
+    tilt = 0.0
     for choice in ("left", "right"):
         pred = lift_left_right_eval(stacked_params, test_2d, depth, choice)
         out[f"pa_{choice}"] = metrics.pa_mpjpe(test_3d, pred).mean()
         out[f"mpjpe_scaled_{choice}"] = metrics.n_mpjpe(
             test_3d, pred, num_joints=17, root_joint=0
         ).mean()
+        tilt = tilt + metrics.depth_tilt_score(pred)
+    # unsupervised depth-flip alarm: negative = un-flipped mode
+    # (metrics.depth_tilt_score; gates --select-by nll-tilt)
+    out["val_tilt"] = tilt / 2.0
     return out
 
 
@@ -143,7 +148,8 @@ def main(argv=None):
     bone_means_v = (None if bone_means is None
                     else parallel.replicate(bone_means, mesh))
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
-    best = C.BestTracker(C.select_metric(args, "pa_mean"))
+    best = C.BestTracker(C.select_metric(args, "pa_mean"),
+                         gate_metric=C.select_gate(args))
     # fixed key: the unsupervised validation criterion must be comparable
     # across epochs, so its rotation draw never changes
     val_key = jax.random.PRNGKey(args.seed + 20_000)
@@ -153,21 +159,27 @@ def main(argv=None):
         # <name>_best that must still seed the bar (ADVICE r1)
         best.maybe_restore(args, C.LIFTER_LR)
 
+    timer = C.EpochTimer().start()
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
-        state, losses = epoch_fn(state, data2d, sub)
-        rec = {k: float(v) for k, v in losses.items()}
+        with timer.section("step"):
+            state, losses = epoch_fn(state, data2d, sub)
+            rec = {k: float(v) for k, v in losses.items()}
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
-            rec.update({k: float(v) for k, v in
-                        _validate(state.params, test2d, test3d,
-                                  depth=cfg.depth).items()})
-            rec["pa_mean"] = (rec["pa_left"] + rec["pa_right"]) / 2
-            rec.update({k: float(v) for k, v in
-                        _validate_unsup(state.params, frozen_v, bone_means_v,
-                                        test2d, val_key, cfg).items()})
-            if best.update(args, epoch, rec, {C.LIFTER_LR: state.params}):
-                msg += " [best]"
+            with timer.section("validate"):
+                rec.update({k: float(v) for k, v in
+                            _validate(state.params, test2d, test3d,
+                                      depth=cfg.depth).items()})
+                rec["pa_mean"] = (rec["pa_left"] + rec["pa_right"]) / 2
+                rec.update({k: float(v) for k, v in
+                            _validate_unsup(state.params, frozen_v,
+                                            bone_means_v, test2d, val_key,
+                                            cfg).items()})
+            with timer.section("checkpoint"):
+                if best.update(args, epoch, rec,
+                               {C.LIFTER_LR: state.params}):
+                    msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_right={rec['pa_right']:.2f}"
                     f" n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")
@@ -175,9 +187,18 @@ def main(argv=None):
         logger.log(rec, step=epoch)
         print(msg)
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
-            C.save_params(args, C.LIFTER_LR, state.params)
-            C.save_run(args, "left_right", state, key, epoch + 1)
+            with timer.section("checkpoint"):
+                C.save_params(args, C.LIFTER_LR, state.params)
+                C.save_run(args, "left_right", state, key, epoch + 1)
+    timer.report(
+        (cfg.n_epochs - start_epoch) * steps_per_epoch * cfg.batch_size,
+        logger)
 
+    if best.gate_metric and best.gated_out:
+        print(f"[links_tpu] --select-by {args.select_by}: flip alarm vetoed "
+              f"{best.gated_out} NLL-improving epoch(s) (val_tilt >= 0)"
+              + ("; NO _best saved — the run looks depth-flipped throughout"
+                 if best.epoch < 0 else ""))
     if args.save_pt and args.attention:
         print("[links_tpu] --save-pt skipped: the reference has no "
               "attention-lifter class to hold these weights")

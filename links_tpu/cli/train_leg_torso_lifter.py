@@ -36,6 +36,9 @@ def _validate(params, test_2d, test_3d, depth: float = 10.0):
                                         root_joint=0).mean(),
         "auc": metrics.auc(test_3d, pred, num_joints=17, root_joint=0),
         "pck": metrics.pck(test_3d, pred, num_joints=17, root_joint=0),
+        # unsupervised depth-flip alarm: negative = un-flipped mode
+        # (metrics.depth_tilt_score; gates --select-by nll-tilt)
+        "val_tilt": metrics.depth_tilt_score(pred),
     }
 
 
@@ -117,7 +120,8 @@ def main(argv=None):
     bone_means_v = (None if bone_means is None
                     else parallel.replicate(bone_means, mesh))
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
-    best = C.BestTracker(C.select_metric(args, "pa"))
+    best = C.BestTracker(C.select_metric(args, "pa"),
+                         gate_metric=C.select_gate(args))
     val_key = jax.random.PRNGKey(args.seed + 20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
@@ -125,32 +129,46 @@ def main(argv=None):
         # <name>_best that must still seed the bar (ADVICE r1)
         best.maybe_restore(args, C.LIFTER_LEGS)
 
+    timer = C.EpochTimer().start()
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
-        state, losses = epoch_fn(state, data2d, sub)
-        rec = {k: float(v) for k, v in losses.items()}
+        with timer.section("step"):
+            state, losses = epoch_fn(state, data2d, sub)
+            rec = {k: float(v) for k, v in losses.items()}
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
-            rec.update({k: float(v) for k, v in
-                        _validate(state.params, test2d, test3d,
-                                  depth=cfg.depth).items()})
-            rec.update({k: float(v) for k, v in
-                        _validate_unsup(state.params, frozen_v, bone_means_v,
-                                        test2d, val_key, cfg).items()})
-            if best.update(args, epoch, rec,
-                           {C.LIFTER_LEGS: state.params["legs"],
-                            C.LIFTER_TORSO: state.params["torso"]}):
-                msg += " [best]"
+            with timer.section("validate"):
+                rec.update({k: float(v) for k, v in
+                            _validate(state.params, test2d, test3d,
+                                      depth=cfg.depth).items()})
+                rec.update({k: float(v) for k, v in
+                            _validate_unsup(state.params, frozen_v,
+                                            bone_means_v, test2d, val_key,
+                                            cfg).items()})
+            with timer.section("checkpoint"):
+                if best.update(args, epoch, rec,
+                               {C.LIFTER_LEGS: state.params["legs"],
+                                C.LIFTER_TORSO: state.params["torso"]}):
+                    msg += " [best]"
             msg += (f" pa={rec['pa']:.2f} n-mpjpe={rec['mpjpe_scaled']:.2f}"
                     f" pck={rec['pck']:.2f}")
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
         print(msg)
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
-            C.save_params(args, C.LIFTER_LEGS, state.params["legs"])
-            C.save_params(args, C.LIFTER_TORSO, state.params["torso"])
-            C.save_run(args, "leg_torso", state, key, epoch + 1)
+            with timer.section("checkpoint"):
+                C.save_params(args, C.LIFTER_LEGS, state.params["legs"])
+                C.save_params(args, C.LIFTER_TORSO, state.params["torso"])
+                C.save_run(args, "leg_torso", state, key, epoch + 1)
+    timer.report(
+        (cfg.n_epochs - start_epoch) * steps_per_epoch * cfg.batch_size,
+        logger)
 
+    if best.gate_metric and best.gated_out:
+        print(f"[links_tpu] --select-by {args.select_by}: flip alarm vetoed "
+              f"{best.gated_out} NLL-improving epoch(s) (val_tilt >= 0)"
+              + ("; NO _best saved — the run looks depth-flipped throughout"
+                 if best.epoch < 0 else ""))
     if args.save_pt:
         from links_tpu import ckpt
 

@@ -42,6 +42,11 @@ def main(argv=None):
                              "buffer + kinematic-tree walk with its axis "
                              "order and view (h36m_gt_visualiser.py:88-101)")
     parser.add_argument("--depth", type=float, default=10.0)
+    parser.add_argument("--choice", choices=["left", "right"], default="right",
+                        help="which side's lifter supplies the shared "
+                             "root/torso columns (matches eval_h36m's "
+                             "--choice so the naive-lift panel uses the "
+                             "same side as the eval it illustrates)")
     parser.add_argument("--out", default=None, help="output image path")
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
@@ -115,7 +120,8 @@ def main(argv=None):
             @jax.jit
             def _scenario_poses(cs, ls, p2d, gt3d):
                 rec, naive = occ.dropout_eval_poses(
-                    cs, ls, p2d, args.depth)[args.scenario]
+                    cs, ls, p2d, args.depth,
+                    choice=args.choice)[args.scenario]
                 return procrustes_align(gt3d, rec), procrustes_align(gt3d, naive)
 
             rec, naive = _scenario_poses(completers, lifters,
@@ -131,7 +137,8 @@ def main(argv=None):
 
             @jax.jit
             def _aligned_pred(params, p2d, gt3d):
-                pred = lift_left_right_eval(params, p2d, args.depth, "right")
+                pred = lift_left_right_eval(params, p2d, args.depth,
+                                            args.choice)
                 return procrustes_align(gt3d, pred)
 
             aligned = _aligned_pred(stacked, test2d[lo:hi], test3d[lo:hi])

@@ -221,3 +221,33 @@ def mpjpe_single(p_ref, p, scale=False, mean_align=False):
         s = jnp.linalg.norm(p_ref.reshape(-1)) / jnp.linalg.norm(p.reshape(-1))
         p = p * s
     return jnp.linalg.norm(p - p_ref, axis=0).mean()
+
+
+# spine, thorax, neck/nose, head — the torso chain above the pelvis
+# (joint convention: SURVEY.md §2.1 / pre_process_h36m_fetch.py:17)
+UPPER_BODY_JOINTS = (7, 8, 9, 10)
+
+
+def depth_tilt_score(pred_3d, num_joints=17):
+    """Unsupervised depth-flip detector (VERDICT r3 next #3).
+
+    Mean camera-frame depth of the upper-body chain relative to the root,
+    over a batch of lifted poses. The unsupervised objective family breaks
+    the front/back depth ambiguity through the asymmetric camera-elevation
+    distribution — cameras look DOWN at subjects (ElePose;
+    train_left_right_lifter.py:166-174 models exactly this, and
+    data/synthetic.py renders with the same ~11° downward tilt). Under a
+    downward-looking camera the subject's upper body is CLOSER to the
+    camera than the pelvis, so for lifts in the correct mode this score is
+    negative; the depth-flipped mode negates every relative z, making it
+    positive. Anatomy-free (no bone-direction priors, works on any corpus
+    shot with downward-tilted cameras) and fully unsupervised — it reads
+    only the lifter's own 3D output. Used to gate ``--select-by nll-tilt``
+    checkpoint selection: flow NLL prefers the flipped mode on exactly the
+    runs where selection matters most (RESULTS.md selection table), and
+    this score is the flip alarm NLL lacks.
+    """
+    p = pred_3d.reshape(-1, 3, num_joints)
+    z = p[:, 2]
+    upper = jnp.asarray(UPPER_BODY_JOINTS)
+    return (z[:, upper].mean(axis=1) - z[:, 0]).mean()

@@ -140,8 +140,14 @@ def quantize_stacked_static(stacked, run_calibration_single):
     calibrated with its own plain eager apply
     (``run_calibration_single(params_i, i)``), then the quantized slices
     re-stack; the per-slice 0-d ``x_scale`` leaves stack to (n,) and come
-    back 0-d under the serving vmap. Returns ``(stacked_q, n_static,
-    n_dynamic)`` summed over slices."""
+    back 0-d under the serving vmap. If calibration coverage differs
+    between slices (e.g. one side's activation range recorded, its
+    sibling's not — an all-zero activation falls back to dynamic), the
+    slices' pytree structures would differ and the stack would die with an
+    opaque structure-mismatch error; instead the affected linears are
+    uniformly demoted to dynamic scales across ALL slices and counted as
+    such (ADVICE r3). Returns ``(stacked_q, n_static, n_dynamic)`` summed
+    over slices."""
     n = jax.tree.leaves(stacked)[0].shape[0]
     slices, tot_s, tot_d = [], 0, 0
     for i in range(n):
@@ -151,6 +157,29 @@ def quantize_stacked_static(stacked, run_calibration_single):
         slices.append(q_i)
         tot_s += s
         tot_d += d
+
+    # uniform coverage: an x_scale present in only SOME slices is dropped
+    # everywhere (that linear serves dynamic in every slice)
+    def _xscale_paths(p, prefix=()):
+        if isinstance(p, dict):
+            if "x_scale" in p:
+                yield prefix
+            for k, v in p.items():
+                yield from _xscale_paths(v, prefix + (k,))
+        elif isinstance(p, (list, tuple)):
+            for j, v in enumerate(p):
+                yield from _xscale_paths(v, prefix + (j,))
+
+    per_slice = [set(_xscale_paths(q)) for q in slices]
+    common = set.intersection(*per_slice) if per_slice else set()
+    for q, have in zip(slices, per_slice):
+        for path in have - common:
+            node = q
+            for k in path:
+                node = node[k]
+            del node["x_scale"]
+            tot_s -= 1
+            tot_d += 1
     return jax.tree.map(lambda *xs: jnp.stack(xs), *slices), tot_s, tot_d
 
 

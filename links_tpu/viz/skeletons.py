@@ -67,7 +67,7 @@ def plot_skeleton_2d(pose_2d, ax=None, title=None, color_by_side=True, invert_y=
 # (h36m_gt_visualiser.py:88-91, h36m_2d_visualiser.py:87-91): the 17-joint
 # subset scatters into the original 32-slot H36M joint buffer and the
 # skeleton is drawn by walking the kinematic tree in slot space with axis
-# order (x, z, y) and view azim=-45 / elev=15.
+# order (x, z, -y) and view azim=-45 / elev=15.
 H36M_32SLOT_INDICES = (0, 1, 2, 3, 6, 7, 8, 12, 13, 14, 15, 17, 18, 19,
                        25, 26, 27)
 H36M_32SLOT_KIN_TREE = np.array(
@@ -91,7 +91,7 @@ def expand_to_32_slots(pose):
 
 def plot_skeleton_3d_32slot(pose_3d, ax=None, title=None):
     """3D skeleton drawn the reference's way: 32-slot buffer + kinematic
-    tree + (x, z, y) axis order + azim=-45/elev=15 view
+    tree + (x, z, -y) axis order + azim=-45/elev=15 view
     (h36m_gt_visualiser.py:88-101) — pixel-convention parity with the
     reference's shipped renders. ``plot_skeleton_3d`` remains the default
     (direct 16-edge bone map, side-colored)."""
@@ -101,7 +101,9 @@ def plot_skeleton_3d_32slot(pose_3d, ax=None, title=None):
         fig = plt.figure()
         ax = fig.add_subplot(111, projection="3d")
         ax.view_init(azim=-45, elev=15)
-    x, y, z = buff[0], buff[2], buff[1]  # reference order = [0, 2, 1]
+    # reference axis order: ax.plot(pose[0], pose[2], -pose[1])
+    # (h36m_gt_visualiser.py:103) — the vertical axis is NEGATED y.
+    x, y, z = buff[0], buff[2], -buff[1]
     for a, b in H36M_32SLOT_KIN_TREE:
         ax.plot([x[a], x[b]], [y[a], y[b]], [z[a], z[b]], c=LEFT_COLOR)
     used = list(H36M_32SLOT_INDICES)

@@ -235,3 +235,33 @@ def test_pt_roundtrip_detects_transposed_w_perm():
     assert not np.allclose(np.asarray(z2), np.asarray(z0), atol=1e-5), (
         "transposed w_perm import produced identical outputs — the "
         "round-trip check cannot see the orientation and guards nothing")
+
+
+def test_best_tracker_tilt_gate(tmp_path):
+    """--select-by nll-tilt (VERDICT r3 next #3): NLL-improving epochs in
+    the depth-flipped mode (val_tilt >= 0) must be vetoed; a run that never
+    passes the gate saves NO _best (it is flipped throughout, and any
+    selection would ship a flipped model)."""
+    import argparse
+
+    from links_tpu.cli import _common as C
+
+    args = argparse.Namespace(model_dir=str(tmp_path), select_by="nll-tilt")
+    assert C.select_metric(args, "pa") == "val_nll"
+    assert C.select_gate(args) == "val_tilt"
+    assert C.select_gate(argparse.Namespace(select_by="nll")) is None
+
+    params = {"w": jnp.ones((2,))}
+    t = C.BestTracker(C.select_metric(args, "pa"),
+                      gate_metric=C.select_gate(args))
+    # better NLL but flipped → vetoed
+    assert not t.update(args, 0, {"val_nll": 1.0, "val_tilt": 0.3},
+                        {"thing": params})
+    # gate metric missing entirely → vetoed, not crashed
+    assert not t.update(args, 1, {"val_nll": 0.9}, {"thing": params})
+    assert t.gated_out == 2 and t.epoch == -1
+    assert not (tmp_path / "thing_best").exists()
+    # un-flipped epoch with worse NLL than the vetoed ones still wins
+    assert t.update(args, 2, {"val_nll": 2.0, "val_tilt": -0.4},
+                    {"thing": params})
+    assert t.epoch == 2 and t.best == 2.0

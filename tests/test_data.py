@@ -185,3 +185,24 @@ def test_load_test_matches_train_test_second(tmp_path):
                                   np.asarray(test_b.poses_2d))
     np.testing.assert_array_equal(np.asarray(test_a.poses_3d),
                                   np.asarray(test_b.poses_3d))
+
+def test_preprocess_cli(tmp_path, capsys):
+    """links-preprocess CLI wrapper (README real-data recipe): same walk as
+    preprocess_h36m_fetch, flag-driven."""
+    h5py = __import__("h5py")
+    from links_tpu.cli.preprocess import main
+
+    rng = np.random.default_rng(1)
+    d = tmp_path / "processed" / "S5" / "Posing"
+    d.mkdir(parents=True)
+    with h5py.File(d / "annot.h5", "w") as f:
+        g = f.create_group("pose")
+        g["2d"] = rng.normal(size=(4, 32, 2))
+        g["3d"] = rng.normal(size=(4, 32, 3))
+        g["3d-univ"] = rng.normal(size=(4, 32, 3))
+
+    out = tmp_path / "out.pkl"
+    res = main(["--h36m-dir", str(tmp_path / "processed"),
+                "--out", str(out)])
+    assert out.exists() and res["S5"]["poses_2d"].shape == (4, 17, 2)
+    assert "S5: 4 frames" in capsys.readouterr().out

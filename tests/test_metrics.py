@@ -165,3 +165,24 @@ def test_chunked_svd_matches_unchunked(rng, monkeypatch):
                                direct_pa, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(metrics.pmpjpe_batch(gt_f, pred_f)),
                                direct_pm, rtol=1e-5)
+
+
+def test_depth_tilt_score_detects_depth_flip():
+    """Unsupervised flip alarm (VERDICT r3 next #3): on the synthetic
+    corpus — rendered with the same downward camera tilt the unsupervised
+    objective relies on (data/synthetic.py:98-110) — the score is clearly
+    negative on correct-mode poses and flips sign exactly under a depth
+    flip (root-relative z negation), the failure mode NLL selection cannot
+    see (RESULTS.md selection table)."""
+    from links_tpu.data.synthetic import generate_poses
+
+    p = generate_poses(512, seed=3)["poses_3d"]  # (n,17,3) camera frame
+    flat = jnp.asarray(p.transpose(0, 2, 1).reshape(-1, 51))
+    tilt = float(metrics.depth_tilt_score(flat))
+    assert tilt < -10.0, tilt
+
+    flipped = p.copy()
+    flipped[:, :, 2] = 2 * p[:, 0:1, 2] - p[:, :, 2]
+    tilt_f = float(metrics.depth_tilt_score(
+        jnp.asarray(flipped.transpose(0, 2, 1).reshape(-1, 51))))
+    np.testing.assert_allclose(tilt_f, -tilt, rtol=1e-5)

@@ -1,11 +1,16 @@
-"""Two-process `jax.distributed` dryrun as a test (VERDICT r2 next #1).
+"""Two-process `jax.distributed` dryrun as a test (VERDICT r2 next #1,
+real-shaped per VERDICT r3 next #4).
 
 Runs tools/dryrun_multihost.py's parent mode in subprocesses: two local
 processes with 4 forced CPU devices each initialize the distributed
-runtime, run the stage-3a DP step on the global 8-device mesh, and the
-result must match a single-process 8-device run. The subprocesses must
-NOT inherit this pytest process's initialized-backend state, hence the
-shell-out (the tool already isolates env per child).
+runtime, feed the batch per-process via
+``jax.make_array_from_process_local_data`` (each process materializes
+only its own rows), and run the stage-3a step in three layouts — GSPMD
+DP, explicit-collective shard_map, and ZeRO-sharded optimizer — on the
+global 8-device mesh; every layout must match a single-process 8-device
+run. The subprocesses must NOT inherit this pytest process's
+initialized-backend state, hence the shell-out (the tool already
+isolates env per child).
 """
 
 import json
@@ -33,7 +38,13 @@ def test_two_process_distributed_matches_single(tmp_path):
     result = json.loads(out.read_text())
     assert result["ok"] is True
     assert result["n_processes"] == 2
-    assert result["loss_abs_diff"] < 1e-4 * max(
-        1.0, abs(result["single_process_loss"]))
-    assert (result["pnorm_abs_diff"]
-            < 1e-5 * result["single_process_pnorm"])
+    # each process fed only its half of the batch (local-feed path)
+    assert result["local_feed"] is True
+    assert result["local_rows_per_process"] == [8, 8]
+    assert set(result["layouts"]) == {"gspmd", "shard_map", "zero"}
+    for name, lay in result["layouts"].items():
+        assert lay["ok"] is True, (name, lay)
+        assert lay["loss_abs_diff"] < 1e-4 * max(
+            1.0, abs(lay["single_process_loss"])), (name, lay)
+        assert (lay["pnorm_abs_diff"]
+                < 1e-5 * lay["single_process_pnorm"]), (name, lay)

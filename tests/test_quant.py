@@ -176,6 +176,37 @@ def test_static_quant_stacked_pair(rng):
     assert rel < 0.03, rel
 
 
+def test_static_quant_stacked_nonuniform_coverage(rng):
+    """Coverage mismatch between slices (ADVICE r3): when a linear is
+    calibrated in one slice but falls back to dynamic in its sibling, the
+    pytree structures differ and the naive stack would die with an opaque
+    structure-mismatch error. quantize_stacked_static must demote such
+    linears to dynamic uniformly and still produce a servable stack."""
+    from links_tpu.models.lifters import lifter_apply
+    from links_tpu.ops.quant import quantize_stacked_static
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    stacked = jax.tree.map(
+        lambda a, b: jnp.stack([a, b]),
+        models.init_lifter(k1, 11, hidden=HID),
+        models.init_lifter(k2, 11, hidden=HID),
+    )
+    calib = rng.normal(size=(32, 22)).astype(np.float32) * 0.1
+
+    def run(params, i):
+        if i == 0:  # slice 1 never calibrated → zero coverage there
+            lifter_apply(params, calib)
+
+    qstacked, ns, nd = quantize_stacked_static(stacked, run)
+    # slice 0 covered all 17 linears, slice 1 none → all demoted to dynamic
+    assert ns == 0 and nd == 34
+    assert "x_scale" not in qstacked["upscale"]
+    assert qstacked["upscale"]["w_q"].shape == (2, 22, HID)
+    poses = jnp.asarray(rng.normal(size=(8, 34)).astype(np.float32) * 0.1)
+    out = np.asarray(jax.jit(lift_left_right_eval)(qstacked, poses))
+    assert np.isfinite(out).all()
+
+
 def test_bf16_policy_close_to_f32(rng):
     """--policy bf16 (serving CLIs): bf16 multiplies / f32 accumulation
     must stay within bf16 rounding of the f32 forward — the 'free' half

@@ -215,6 +215,57 @@ def test_coalescer_merges_and_scatters(rng):
         co.close()
 
 
+def test_coalescer_failure_isolation(rng):
+    """A poisoned request merged with clean ones must not 500 the clean
+    waiters (ADVICE r3): on a merged-run failure each request is retried
+    individually — only the poisoned one raises, the rest get results."""
+    import time as _time
+
+    from links_tpu.cli.serve import Coalescer
+
+    def fn(chunk):
+        arr = np.asarray(chunk)
+        if np.isnan(arr).any():
+            raise RuntimeError("poisoned rows")
+        _time.sleep(0.02)  # hold the device so submitters pile up
+        return arr * 2.0
+
+    co = Coalescer(fn, batch=64)
+    try:
+        clean = [rng.normal(size=(n, 34)).astype(np.float32)
+                 for n in (3, 5, 4)]
+        poison = np.full((2, 34), np.nan, dtype=np.float32)
+        # a long clean request occupies the dispatcher so the rest merge
+        blocker = rng.normal(size=(8, 34)).astype(np.float32)
+        payloads = [blocker] + clean[:1] + [poison] + clean[1:]
+        outs: list = [None] * len(payloads)
+
+        def worker(i):
+            try:
+                outs[i] = co.submit(payloads[i])
+            except Exception as e:
+                outs[i] = e
+
+        threads = []
+        for i in range(len(payloads)):
+            t = threading.Thread(target=worker, args=(i,))
+            t.start()
+            threads.append(t)
+            if i == 0:
+                _time.sleep(0.005)  # let the blocker start its run
+        for t in threads:
+            t.join(timeout=10)
+
+        for i, (p, o) in enumerate(zip(payloads, outs)):
+            if i == 2:  # the poisoned request
+                assert isinstance(o, RuntimeError), o
+            else:
+                assert not isinstance(o, Exception), (i, o)
+                np.testing.assert_allclose(o, p * 2.0, rtol=1e-6)
+    finally:
+        co.close()
+
+
 def test_serve_concurrent_coalesced(server, rng):
     """End-to-end: concurrent HTTP clients get correct per-request results
     through the coalescing queue, and /healthz reports the merge stats."""

@@ -58,6 +58,26 @@ def test_32slot_expansion_and_render(poses, tmp_path):
     assert b2.shape == (2, 32)
 
 
+def test_32slot_vertical_axis_is_negated_y(poses):
+    """Axis-convention pin (ADVICE r3): the reference renders
+    ax.plot(pose[0], pose[2], -pose[1]) (h36m_gt_visualiser.py:103) — the
+    matplotlib z axis carries NEGATED pose-y. A sign slip here flips every
+    render vertically relative to the reference's shipped images."""
+    import matplotlib.pyplot as plt
+
+    from links_tpu.viz.skeletons import H36M_32SLOT_KIN_TREE
+
+    _, p3d = poses
+    buff = viz.expand_to_32_slots(p3d[0])
+    ax = viz.plot_skeleton_3d_32slot(p3d[0])
+    a, b = H36M_32SLOT_KIN_TREE[0]
+    xs, ys, zs = ax.lines[0].get_data_3d()
+    np.testing.assert_allclose(xs, [buff[0][a], buff[0][b]], rtol=1e-6)
+    np.testing.assert_allclose(ys, [buff[2][a], buff[2][b]], rtol=1e-6)
+    np.testing.assert_allclose(zs, [-buff[1][a], -buff[1][b]], rtol=1e-6)
+    plt.close(ax.figure)
+
+
 def test_visualise_prediction(poses, tmp_path):
     p2d, p3d = poses
     stacked = jax.tree.map(

@@ -32,15 +32,17 @@ def study(path: str):
             pa = rec.get("pa_mean", rec.get("pa"))
             if pa is None or "val_nll" not in rec:
                 continue
+            tilt = rec.get("val_tilt")
             rows.append((int(rec["epoch"]), float(pa),
                          float(rec["val_nll"]),
-                         float(rec["val_unsup_loss"])))
+                         float(rec["val_unsup_loss"]),
+                         None if tilt is None else float(tilt)))
     if not rows:
         return None
     by_pa = min(rows, key=lambda r: r[1])
     by_nll = min(rows, key=lambda r: r[2])
     by_loss = min(rows, key=lambda r: r[3])
-    return {
+    out = {
         "curve": path,
         "epochs": len(rows),
         "gt_pa_select": {"epoch": by_pa[0], "pa": round(by_pa[1], 2)},
@@ -50,6 +52,24 @@ def study(path: str):
                               "pa_cost_mm": round(by_loss[1] - by_pa[1], 2)},
         "final_epoch_pa": round(rows[-1][1], 2),
     }
+    # nll-tilt (VERDICT r3 next #3): NLL restricted to epochs whose
+    # depth-flip alarm is negative (metrics.depth_tilt_score — the
+    # un-flipped mode). Curves from before round 4 don't log val_tilt.
+    if any(r[4] is not None for r in rows):
+        unflipped = [r for r in rows if r[4] is not None and r[4] < 0.0]
+        if unflipped:
+            by_nt = min(unflipped, key=lambda r: r[2])
+            out["nll_tilt_select"] = {
+                "epoch": by_nt[0], "pa": round(by_nt[1], 2),
+                "pa_cost_mm": round(by_nt[1] - by_pa[1], 2),
+                "epochs_vetoed": len(rows) - len(unflipped),
+            }
+        else:
+            out["nll_tilt_select"] = {"no_unflipped_epoch": True,
+                                      "epochs_vetoed": len(rows)}
+    else:
+        out["nll_tilt_select"] = "val_tilt not logged (pre-round-4 curve)"
+    return out
 
 
 def main():
