@@ -8,6 +8,7 @@ from links_tpu.ckpt.orbax_io import (  # noqa: F401
     restore_checkpoint,
     restore_rng_key,
     save_checkpoint,
+    wait_for_saves,
 )
 from links_tpu.ckpt.torch_io import (  # noqa: F401
     completer_from_torch,

@@ -360,9 +360,10 @@ def artifact(args, name: str) -> Path:
     return Path(args.model_dir) / name
 
 
-def save_flow(args, name: str, flow: flows.Flow):
+def save_flow(args, name: str, flow: flows.Flow, async_save=False):
     ckpt.save_checkpoint(artifact(args, name), {"params": flow.params,
-                                                "perm": flow.perm})
+                                                "perm": flow.perm},
+                         async_save=async_save)
     if args.save_pt:
         ckpt.save_pt(artifact(args, name).with_suffix(".pt"),
                      ckpt.flow_to_torch(flow))
@@ -377,8 +378,9 @@ def load_flow(path_or_args, name: str | None = None, n_blocks: int = 8) -> flows
     return flows.Flow(params=state["params"], perm=jnp.asarray(state["perm"]))
 
 
-def save_params(args, name: str, params, to_torch=None):
-    ckpt.save_checkpoint(artifact(args, name), {"params": params})
+def save_params(args, name: str, params, to_torch=None, async_save=False):
+    ckpt.save_checkpoint(artifact(args, name), {"params": params},
+                         async_save=async_save)
     if args.save_pt and to_torch is not None:
         ckpt.save_pt(artifact(args, name).with_suffix(".pt"), to_torch(params))
 
@@ -487,7 +489,8 @@ class BestTracker:
             self.epoch = int(extra.get("epoch", -1))
         return self
 
-    def update(self, args, epoch: int, rec: dict, artifacts: dict) -> bool:
+    def update(self, args, epoch: int, rec: dict, artifacts: dict,
+               async_save=False) -> bool:
         """``artifacts`` maps artifact name → params pytree. Saves each as
         ``<name>_best`` when ``rec[self.metric]`` improves on the best so
         far. Returns True on improvement."""
@@ -510,6 +513,7 @@ class BestTracker:
             ckpt.save_checkpoint(
                 artifact(args, f"{name}_best"), {"params": params},
                 extra={"epoch": epoch, self.metric: float(value)},
+                async_save=async_save,
             )
         return True
 
@@ -656,12 +660,14 @@ def _announce_best(best_path: Path, name: str):
           file=sys.stderr)
 
 
-def save_run(args, stage: str, state, key, next_epoch: int):
+def save_run(args, stage: str, state, key, next_epoch: int,
+             async_save=False):
     """Per-epoch run checkpoint: full TrainState + RNG + epoch counter —
     deterministic mid-run resume, which the reference lacks entirely
     (SURVEY.md §5: save-only torch.save of model weights)."""
     ckpt.save_checkpoint(artifact(args, f"{stage}_run"), state, key=key,
-                         extra={"next_epoch": next_epoch})
+                         extra={"next_epoch": next_epoch},
+                         async_save=async_save)
 
 
 def maybe_resume(args, stage: str, state, key):

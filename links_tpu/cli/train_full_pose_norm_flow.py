@@ -12,7 +12,7 @@ import argparse
 
 import jax
 
-from links_tpu import flows
+from links_tpu import ckpt, flows
 from links_tpu.cli import _common as C
 from links_tpu.config import FlowTrainConfig
 from links_tpu.train import (
@@ -66,8 +66,11 @@ def main(argv=None):
                                             if k != "epoch"))
         # reference saves per epoch (:115); --save-every relaxes that
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
-            C.save_flow(args, C.FULL_FLOW, flows.Flow(state.params, flow.perm))
-            C.save_run(args, "full_flow", state, key, epoch + 1)
+            C.save_flow(args, C.FULL_FLOW, flows.Flow(state.params, flow.perm),
+                        async_save=True)
+            C.save_run(args, "full_flow", state, key, epoch + 1,
+                       async_save=True)
+    ckpt.wait_for_saves()
     logger.close()
     return state
 

@@ -178,7 +178,8 @@ def main(argv=None):
                                             cfg).items()})
             with timer.section("checkpoint"):
                 if best.update(args, epoch, rec,
-                               {C.LIFTER_LR: state.params}):
+                               {C.LIFTER_LR: state.params},
+                               async_save=True):
                     msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_right={rec['pa_right']:.2f}"
@@ -188,8 +189,14 @@ def main(argv=None):
         print(msg)
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
             with timer.section("checkpoint"):
-                C.save_params(args, C.LIFTER_LR, state.params)
-                C.save_run(args, "left_right", state, key, epoch + 1)
+                C.save_params(args, C.LIFTER_LR, state.params,
+                              async_save=True)
+                C.save_run(args, "left_right", state, key, epoch + 1,
+                           async_save=True)
+    with timer.section("checkpoint"):  # drain in-flight async writes
+        from links_tpu import ckpt as _ckpt
+
+        _ckpt.wait_for_saves()
     timer.report(
         (cfg.n_epochs - start_epoch) * steps_per_epoch * cfg.batch_size,
         logger)

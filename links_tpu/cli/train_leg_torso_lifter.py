@@ -148,7 +148,8 @@ def main(argv=None):
             with timer.section("checkpoint"):
                 if best.update(args, epoch, rec,
                                {C.LIFTER_LEGS: state.params["legs"],
-                                C.LIFTER_TORSO: state.params["torso"]}):
+                                C.LIFTER_TORSO: state.params["torso"]},
+                               async_save=True):
                     msg += " [best]"
             msg += (f" pa={rec['pa']:.2f} n-mpjpe={rec['mpjpe_scaled']:.2f}"
                     f" pck={rec['pck']:.2f}")
@@ -157,9 +158,16 @@ def main(argv=None):
         print(msg)
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
             with timer.section("checkpoint"):
-                C.save_params(args, C.LIFTER_LEGS, state.params["legs"])
-                C.save_params(args, C.LIFTER_TORSO, state.params["torso"])
-                C.save_run(args, "leg_torso", state, key, epoch + 1)
+                C.save_params(args, C.LIFTER_LEGS, state.params["legs"],
+                              async_save=True)
+                C.save_params(args, C.LIFTER_TORSO, state.params["torso"],
+                              async_save=True)
+                C.save_run(args, "leg_torso", state, key, epoch + 1,
+                           async_save=True)
+    with timer.section("checkpoint"):  # drain in-flight async writes
+        from links_tpu import ckpt as _ckpt
+
+        _ckpt.wait_for_saves()
     timer.report(
         (cfg.n_epochs - start_epoch) * steps_per_epoch * cfg.batch_size,
         logger)

@@ -121,7 +121,8 @@ def main(argv=None):
             # rec would pick up any future pa_* training loss (ADVICE r1)
             pa_keys = [k for k in val if k.startswith("pa_")]
             rec["pa_scenario_mean"] = sum(val[k] for k in pa_keys) / len(pa_keys)
-            if best.update(args, epoch, rec, {C.OCCLUSION: state.params}):
+            if best.update(args, epoch, rec, {C.OCCLUSION: state.params},
+                           async_save=True):
                 msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_torso={rec['pa_torso']:.2f}")
@@ -129,8 +130,12 @@ def main(argv=None):
         logger.log(rec, step=epoch)
         print(msg)
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
-            C.save_params(args, C.OCCLUSION, state.params)
-            C.save_run(args, "occlusion", state, key, epoch + 1)
+            C.save_params(args, C.OCCLUSION, state.params, async_save=True)
+            C.save_run(args, "occlusion", state, key, epoch + 1,
+                       async_save=True)
+    from links_tpu import ckpt as _ckpt
+
+    _ckpt.wait_for_saves()
 
     if args.save_pt:
         from links_tpu import ckpt

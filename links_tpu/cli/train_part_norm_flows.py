@@ -12,7 +12,7 @@ import argparse
 
 import jax
 
-from links_tpu import flows
+from links_tpu import ckpt, flows
 from links_tpu.cli import _common as C
 from links_tpu.config import PartFlowTrainConfig
 from links_tpu.train import (
@@ -76,8 +76,11 @@ def main(argv=None):
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
             for name, art in _NAMES.items():
                 C.save_flow(args, art,
-                            flows.Flow(state.params[name], perms[name]))
-            C.save_run(args, "part_flows", state, key, epoch + 1)
+                            flows.Flow(state.params[name], perms[name]),
+                            async_save=True)
+            C.save_run(args, "part_flows", state, key, epoch + 1,
+                       async_save=True)
+    ckpt.wait_for_saves()
     logger.close()
     return state
 

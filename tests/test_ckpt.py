@@ -25,6 +25,54 @@ def test_orbax_roundtrip(tmp_path):
     )
 
 
+def test_async_save_matches_sync_and_orders_same_path(tmp_path):
+    """The round-4 async checkpoint writer: a drained async save restores
+    bit-identically to a sync one, and back-to-back saves to the SAME path
+    land in submission order (the single worker is the ordering guarantee
+    the trainers' per-epoch _best/_run overwrites rely on)."""
+    params = models.init_lifter(jax.random.PRNGKey(0), 7)
+    optimizer = train.make_optimizer(OptimConfig(), 10)
+    state = train.init_state(params, optimizer)
+    key = jax.random.PRNGKey(7)
+
+    ckpt.save_checkpoint(tmp_path / "sync", state, key=key,
+                         extra={"epoch": 5})
+    ckpt.save_checkpoint(tmp_path / "async", state, key=key,
+                         extra={"epoch": 5}, async_save=True)
+    # ordering: three saves to one path; the last must win
+    for e in (1, 2, 3):
+        ckpt.save_checkpoint(tmp_path / "seq", state, extra={"epoch": e},
+                             async_save=True)
+    ckpt.wait_for_saves()
+
+    a = ckpt.restore_checkpoint(tmp_path / "async")
+    s = ckpt.restore_checkpoint(tmp_path / "sync")
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        a["state"], s["state"])
+    np.testing.assert_array_equal(a["rng_key"], s["rng_key"])
+    assert int(np.asarray(
+        ckpt.restore_checkpoint(tmp_path / "seq")["extra"]["epoch"])) == 3
+
+
+def test_async_save_failure_surfaces_at_wait(tmp_path):
+    """A failing async write must raise at the next wait_for_saves(), not
+    vanish in the worker thread."""
+    import pytest
+
+    bad = tmp_path / "parent_is_a_file"
+    bad.write_text("not a directory")
+    ckpt.save_checkpoint(bad / "ck", {"x": jnp.ones(3)}, async_save=True)
+    with pytest.raises(Exception):
+        ckpt.wait_for_saves()
+    # the error queue must be drained: a subsequent good save succeeds
+    ckpt.save_checkpoint(tmp_path / "ok", {"x": jnp.ones(3)},
+                         async_save=True)
+    ckpt.wait_for_saves()
+    assert (tmp_path / "ok").exists()
+
+
 def test_flow_export_matches_freia_state_dict_layout():
     """Pin ckpt.flow_to_torch to FrEIA SequenceINN's real state-dict layout
     (VERDICT r1 missing #3). The fixture records, for each flow dim the
