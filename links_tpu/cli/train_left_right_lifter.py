@@ -164,18 +164,19 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         with timer.section("step"):
             state, losses = epoch_fn(state, data2d, sub)
-            rec = {k: float(v) for k, v in losses.items()}
+            # one batched D2H instead of one tunnel round trip per key
+            rec = {k: float(v) for k, v in jax.device_get(losses).items()}
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
             with timer.section("validate"):
-                rec.update({k: float(v) for k, v in
-                            _validate(state.params, test2d, test3d,
-                                      depth=cfg.depth).items()})
+                rec.update({k: float(v) for k, v in jax.device_get(
+                    _validate(state.params, test2d, test3d,
+                              depth=cfg.depth)).items()})
                 rec["pa_mean"] = (rec["pa_left"] + rec["pa_right"]) / 2
-                rec.update({k: float(v) for k, v in
-                            _validate_unsup(state.params, frozen_v,
-                                            bone_means_v, test2d, val_key,
-                                            cfg).items()})
+                rec.update({k: float(v) for k, v in jax.device_get(
+                    _validate_unsup(state.params, frozen_v,
+                                    bone_means_v, test2d, val_key,
+                                    cfg)).items()})
             with timer.section("checkpoint"):
                 if best.update(args, epoch, rec,
                                {C.LIFTER_LR: state.params},

@@ -108,12 +108,12 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
-        rec = {k: float(v) for k, v in losses.items()}
+        rec = {k: float(v) for k, v in jax.device_get(losses).items()}
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
-            val = {k: float(v) for k, v in
+            val = {k: float(v) for k, v in jax.device_get(
                    _validate(state.params, lifters, test2d, test3d,
-                             depth=cfg.depth).items()}
+                             depth=cfg.depth)).items()}
             rec.update(val)
             # completers overfit the frozen lifters' pseudo-3D; track the
             # best mean scenario PA like the lifter stages track theirs.

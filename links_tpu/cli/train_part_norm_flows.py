@@ -69,7 +69,7 @@ def main(argv=None):
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         state, losses = epoch_fn(state, data2d, sub)
-        rec = {k: float(v) for k, v in losses.items()}
+        rec = {k: float(v) for k, v in jax.device_get(losses).items()}
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
         print(f"epoch {epoch}: loss={rec['loss']:.4f}")
