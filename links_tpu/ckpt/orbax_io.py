@@ -11,6 +11,7 @@ from pathlib import Path
 from typing import Any
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -20,11 +21,16 @@ class _AsyncSaver:
 
     Round-4 delivered-throughput fix (VERDICT r3 weak #1): the CLI epoch
     loop spent 37% of wall clock blocked in orbax saves (~9 s each over
-    the axon tunnel — D2H + StandardCheckpointer setup + fsync). JAX
-    arrays are immutable, so the train loop can hand the *device* pytree
-    straight to the worker and keep stepping: the old arrays stay valid
-    until the worker's device_get finishes, and the write+fsync fully
-    overlaps compute. A single worker keeps same-path saves ordered;
+    the axon tunnel — D2H + StandardCheckpointer setup + fsync). The
+    caller's pytree is snapshotted with an async device-to-device copy
+    at submit time (see ``_snapshot``) — immutability alone is NOT
+    enough, because the train step's ``donate_argnums`` deletes the old
+    buffers at the next epoch call, racing the worker's device_get
+    (observed: ``RuntimeError: Array has been deleted`` killing three
+    stage trainers mid-run in the first round-4 pipeline). The D2D copy
+    dispatches before the donating call can run, so the snapshot is
+    immune; write+fsync then fully overlap compute.
+    A single worker keeps same-path saves ordered;
     orbax's tmp-dir+rename commit means readers never observe a partial
     checkpoint. Trainers must drain with ``wait_for_saves()`` before
     reading their own artifacts or exiting (a crash loses only in-flight
@@ -70,6 +76,21 @@ def _get_saver() -> _AsyncSaver:
         return _saver
 
 
+def _snapshot(tree):
+    """Device-side copy of every jax.Array in ``tree`` (async dispatch,
+    returns immediately). Taken on the caller thread BEFORE the next
+    jitted call can donate-and-delete the source buffers, so the writer
+    thread always reads live arrays. Host arrays/scalars pass through
+    (numpy is copied defensively — trainers may mutate buffers in place)."""
+    def cp(x):
+        if isinstance(x, jax.Array):
+            return jnp.copy(x)
+        if isinstance(x, np.ndarray):
+            return x.copy()
+        return x
+    return jax.tree.map(cp, tree)
+
+
 def wait_for_saves():
     """Block until every async checkpoint submitted so far is durable
     (and re-raise the first failure, if any). Call before reading your
@@ -82,8 +103,9 @@ def save_checkpoint(path, state: Any, key=None, extra: dict | None = None,
                     force: bool = True, async_save: bool = False):
     """Save a train-state pytree (+ optional rng key / extras) to ``path``.
 
-    ``async_save=True`` enqueues the whole save (device_get + write) on
-    the background writer and returns immediately; see _AsyncSaver."""
+    ``async_save=True`` snapshots the payload (device-side copy, safe
+    against donation) and enqueues the write on the background writer,
+    returning immediately; see _AsyncSaver."""
     path = Path(path).absolute()
     payload = {"state": state}
     if key is not None:
@@ -99,6 +121,7 @@ def save_checkpoint(path, state: Any, key=None, extra: dict | None = None,
             ckptr.save(path, payload, force=force)
 
     if async_save:
+        payload = _snapshot(payload)
         _get_saver().submit(_write)
     else:
         _write()

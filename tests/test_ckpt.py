@@ -73,6 +73,28 @@ def test_async_save_failure_surfaces_at_wait(tmp_path):
     assert (tmp_path / "ok").exists()
 
 
+def test_async_save_survives_donation_of_source_buffers(tmp_path):
+    """Regression (round-4 pipeline crash): the train step's donate_argnums
+    deletes the epoch's param/opt buffers at the NEXT jitted call, racing
+    the async writer's device_get — three stage trainers died mid-run with
+    ``RuntimeError: Array has been deleted``. save_checkpoint must snapshot
+    (device-side copy) at submit time, so deleting the caller's arrays right
+    after submit cannot corrupt or fail the write."""
+    state = {"w": jnp.arange(12.0).reshape(3, 4), "b": jnp.ones(4)}
+    expect = jax.tree.map(np.asarray, state)
+    ckpt.save_checkpoint(tmp_path / "ck", state, extra={"epoch": 9},
+                         async_save=True)
+    # simulate donation: delete the source device buffers immediately
+    for leaf in jax.tree.leaves(state):
+        leaf.delete()
+    ckpt.wait_for_saves()
+    restored = ckpt.restore_checkpoint(tmp_path / "ck")
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), y),
+        restored["state"], expect)
+    assert int(np.asarray(restored["extra"]["epoch"])) == 9
+
+
 def test_flow_export_matches_freia_state_dict_layout():
     """Pin ckpt.flow_to_torch to FrEIA SequenceINN's real state-dict layout
     (VERDICT r1 missing #3). The fixture records, for each flow dim the
