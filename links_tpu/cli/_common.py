@@ -99,6 +99,15 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "self-sample NLL, which can explode on a "
                              "single outlier batch; default off = the "
                              "reference's unclipped recipe)")
+    parser.add_argument("--nll-cap", type=float, default=None,
+                        help="soft-cap the per-sample flow NLL terms "
+                             "(identity below the cap, cap+log1p above; "
+                             "flows.soft_cap_nll). Robust-training guard "
+                             "for heavy-tailed 2D corpora (--no-gt-2d "
+                             "detector keypoints) where raw-MLE flow "
+                             "training destabilizes; default off = the "
+                             "reference's uncapped recipe. Healthy NLLs "
+                             "are ~-100; 500 is a safe choice")
     parser.add_argument("--bf16-opt-state", action="store_true",
                         help="store Adam moments in bfloat16 at rest — "
                              "halves the optimizer-state HBM traffic that "
@@ -706,6 +715,11 @@ def resolve_cfg(args, cfg):
         kw["batch_size"] = args.batch_size
     if args.f32:
         kw["bf16"] = False
+    if getattr(args, "nll_cap", None) is not None:
+        # only the flow/lifter stages carry the field (OcclusionTrainConfig
+        # has no flow term); ignore the flag elsewhere
+        if any(f.name == "nll_cap" for f in dataclasses.fields(cfg)):
+            kw["nll_cap"] = args.nll_cap
     opt_kw = {}
     if getattr(args, "clip_grad", None) is not None:
         opt_kw["clip_grad_norm"] = args.clip_grad

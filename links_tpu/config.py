@@ -38,6 +38,13 @@ class FlowTrainConfig:
     batch_size: int = 4 * 64
     n_epochs: int = 100
     noise_factor: float = 0.2
+    # Soft cap on the per-sample NLL terms (flows.soft_cap_nll): 0 disables
+    # (the reference's raw-MLE recipe). Heavy-tailed 2D corpora (detector
+    # keypoints with surviving mis-localizations) need it — the raw
+    # self-sample NLL destabilizes the flow at scale (see soft_cap_nll
+    # docstring for the measured failure). Healthy NLLs sit near −100, so
+    # any cap in the hundreds is inactive on clean data.
+    nll_cap: float = 0.0
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
 
@@ -52,6 +59,7 @@ class PartFlowTrainConfig:
     batch_size: int = 256
     n_epochs: int = 100
     noise_factor: float = 0.2
+    nll_cap: float = 0.0  # see FlowTrainConfig.nll_cap
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
 
@@ -71,6 +79,12 @@ class LifterTrainConfig:
     weight_velocity: float = 1.0  # --velocity
     weight_likeli: float = 1.0  # --likelihood
     noise_factor: float = 0.2
+    # Soft cap on the frozen part-flow NLL of rotated views (the `likeli`
+    # loss term); 0 disables (reference recipe). Same rationale as
+    # FlowTrainConfig.nll_cap: a sharp flow meeting an off-manifold rotated
+    # reprojection returns an O(1e5+) NLL whose gradient dwarfs every other
+    # loss term and detonates the lifter within one epoch.
+    nll_cap: float = 0.0
     optim: OptimConfig = OptimConfig()
     bf16: bool = True
 

@@ -1,5 +1,11 @@
 from links_tpu.flows.coupling import Flow, init_block, init_flow  # noqa: F401
-from links_tpu.flows.sequence import draw_samples, forward, inverse, nll  # noqa: F401
+from links_tpu.flows.sequence import (  # noqa: F401
+    draw_samples,
+    forward,
+    inverse,
+    nll,
+    soft_cap_nll,
+)
 
 # Flow dimensionalities used by the pipeline (SURVEY.md §2.5).
 FULL_DIM = 34

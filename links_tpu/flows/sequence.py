@@ -54,6 +54,26 @@ def nll(z, logdet):
     return 0.5 * jnp.sum(z**2, axis=-1) - logdet
 
 
+def soft_cap_nll(v, cap: float):
+    """Robust per-sample NLL: identity below ``cap``, logarithmic above
+    (cap + log1p(v − cap)).
+
+    Monotone and C¹ (slope 1 at the junction), so ordering is preserved and
+    near-manifold samples train exactly as before, while an off-manifold
+    sample's gradient is damped by 1/(1 + v − cap) instead of growing with
+    0.5·‖z‖² — which reaches ~1e13 when a coupling stack (exp(s) ≤ e² per
+    block, 8 blocks) meets a heavy-tailed input. Detector-2D corpora have
+    exactly those tails (data/synthetic.py confident-miss model; the paper's
+    supplementary §1 failure profile), and the unclamped MLE flow
+    demonstrably destabilizes on them at scale (runs/r4/models_det round-4
+    first pass: self-sample NLL oscillating 5e5–1.4e7 at epochs 97–99,
+    which then detonated both stage-3 lifters). ``cap`` ≫ any healthy NLL
+    (those sit near −100) leaves the reference recipe numerically intact.
+    """
+    over = jnp.maximum(v - cap, 0.0)
+    return jnp.where(v > cap, cap + jnp.log1p(over), v)
+
+
 def draw_samples(flow: Flow, x, key, noise_factor: float = 0.2,
                  zero_root: bool = True, policy: nn.Policy = nn.F32):
     """Generative sampling around a data batch (train_full_pose_norm_flow.py:81-87):

@@ -19,27 +19,38 @@ from links_tpu.core import nn
 from links_tpu.core.skeleton import split_data_left_right, split_data_legs_torso
 
 
+def _nll_reduce(z, logdet, nll_cap: float):
+    v = flows.nll(z, logdet)
+    if nll_cap:
+        v = flows.soft_cap_nll(v, nll_cap)
+    return v.mean()
+
+
 def full_flow_loss(params, perm, poses_2d, key, noise_factor: float = 0.2,
-                   policy: nn.Policy = nn.F32):
+                   policy: nn.Policy = nn.F32, nll_cap: float = 0.0):
     """Stage-1 loss: mean NLL(real) + mean NLL(self-samples).
 
     Returns (loss, aux) with the reference's loss keys
-    (train_full_pose_norm_flow.py:78,91,93).
+    (train_full_pose_norm_flow.py:78,91,93). ``nll_cap`` > 0 winsorizes the
+    per-sample NLLs (both terms) through ``flows.soft_cap_nll`` — the
+    robust-training path for heavy-tailed detector corpora; 0 keeps the
+    reference's raw MLE.
     """
     flow = flows.Flow(params, perm)
     z, logdet = flows.forward(flow, poses_2d, policy)
-    dist_2d = flows.nll(z, logdet).mean()
+    dist_2d = _nll_reduce(z, logdet, nll_cap)
 
     samples = flows.draw_samples(flow, poses_2d, key, noise_factor, policy=policy)
     z_s, logdet_s = flows.forward(flow, samples, policy)
-    dist_2d_sample = flows.nll(z_s, logdet_s).mean()
+    dist_2d_sample = _nll_reduce(z_s, logdet_s, nll_cap)
 
     loss = dist_2d + dist_2d_sample
     return loss, {"dist_2d": dist_2d, "dist_2d_sample": dist_2d_sample, "loss": loss}
 
 
 def part_flows_loss(part_params, part_perms, full_flow: flows.Flow, poses_2d,
-                    key, noise_factor: float = 0.2, policy: nn.Policy = nn.F32):
+                    key, noise_factor: float = 0.2, policy: nn.Policy = nn.F32,
+                    nll_cap: float = 0.0):
     """Stage-2 loss over the four part flows.
 
     ``part_params``/``part_perms``: dicts keyed 'left','right','legs','torso'.
@@ -47,7 +58,8 @@ def part_flows_loss(part_params, part_perms, full_flow: flows.Flow, poses_2d,
     stacked vmap; legs (14) and torso (20) run separately.
 
     Returns (loss, aux) with the reference loss keys
-    (train_leg_torso_left_right_norm_flow.py:126-166).
+    (train_leg_torso_left_right_norm_flow.py:126-166). ``nll_cap`` as in
+    ``full_flow_loss``.
     """
     import jax.numpy as jnp
 
@@ -56,7 +68,7 @@ def part_flows_loss(part_params, part_perms, full_flow: flows.Flow, poses_2d,
     def _nll_mean(name, x):
         flow = flows.Flow(part_params[name], part_perms[name])
         z, ld = flows.forward(flow, x, policy)
-        return flows.nll(z, ld).mean()
+        return _nll_reduce(z, ld, nll_cap)
 
     def _per_source(x):
         left, right = split_data_left_right(x)
@@ -69,7 +81,7 @@ def part_flows_loss(part_params, part_perms, full_flow: flows.Flow, poses_2d,
 
         def one_side(p, w, xs):
             z, ld = flows.forward(flows.Flow(p, w), xs, policy)
-            return flows.nll(z, ld).mean()
+            return _nll_reduce(z, ld, nll_cap)
 
         lr = jax.vmap(one_side)(lr_params, lr_perms, jnp.stack([left, right]))
         return {

@@ -149,7 +149,15 @@ def _stacked_side_apply(stacked_params, left_x, right_x, policy):
     return xd[0], xd[1], xa[0], xa[1]
 
 
-def _stacked_side_nll(frozen: LifterFrozen, left_x, right_x, policy):
+def _capped_nll_mean(z, ld, nll_cap: float):
+    v = flows.nll(z, ld)
+    if nll_cap:
+        v = flows.soft_cap_nll(v, nll_cap)
+    return v.mean()
+
+
+def _stacked_side_nll(frozen: LifterFrozen, left_x, right_x, policy,
+                      nll_cap: float = 0.0):
     lr_params = jax.tree.map(
         lambda a, b: jnp.stack([a, b]), frozen.part_a.params, frozen.part_b.params
     )
@@ -157,7 +165,7 @@ def _stacked_side_nll(frozen: LifterFrozen, left_x, right_x, policy):
 
     def one(p, w, x):
         z, ld = flows.forward(flows.Flow(p, w), x, policy)
-        return flows.nll(z, ld).mean()
+        return _capped_nll_mean(z, ld, nll_cap)
 
     out = jax.vmap(one)(lr_params, lr_perm, jnp.stack([left_x, right_x]))
     return out[0], out[1]
@@ -205,7 +213,7 @@ def left_right_loss(stacked_lifter_params, frozen: LifterFrozen, inp_poses, key,
     norm_left_side, _ = split_data_left_right(rot_2d_left)
     _, norm_right_side = split_data_left_right(rot_2d_right)
     likeli_left, likeli_right = _stacked_side_nll(
-        frozen, norm_left_side, norm_right_side, policy
+        frozen, norm_left_side, norm_right_side, policy, cfg.nll_cap
     )
     likeli = likeli_left + likeli_right
 
@@ -299,9 +307,9 @@ def leg_torso_loss(leg_params, torso_params, frozen: LifterFrozen, inp_poses, ke
 
     leg_rot, torso_rot = split_data_legs_torso(rot_2d)
     za, lda = flows.forward(frozen.part_a, leg_rot, policy)
-    leg_likeli = flows.nll(za, lda).mean()
+    leg_likeli = _capped_nll_mean(za, lda, cfg.nll_cap)
     zb, ldb = flows.forward(frozen.part_b, torso_rot, policy)
-    torso_likeli = flows.nll(zb, ldb).mean()
+    torso_likeli = _capped_nll_mean(zb, ldb, cfg.nll_cap)
     likeli = leg_likeli + torso_likeli
 
     legs_pred_rot, _ = lifter_apply(leg_params, leg_rot, policy)

@@ -67,7 +67,7 @@ def build_full_flow_step(perm, optimizer, cfg: FlowTrainConfig):
 
     def loss_fn(params, batch, key):
         return flow_nll.full_flow_loss(params, perm, batch, key,
-                                       cfg.noise_factor, policy)
+                                       cfg.noise_factor, policy, cfg.nll_cap)
 
     return _make_step(loss_fn, optimizer)
 
@@ -80,7 +80,8 @@ def build_part_flows_step(part_perms, full_flow: flows.Flow, optimizer,
 
     def loss_fn(params, batch, key):
         return flow_nll.part_flows_loss(params, part_perms, full_flow, batch,
-                                        key, cfg.noise_factor, policy)
+                                        key, cfg.noise_factor, policy,
+                                        cfg.nll_cap)
 
     return _make_step(loss_fn, optimizer)
 

@@ -109,3 +109,34 @@ def test_sampling_has_no_gradient():
     g = jax.grad(loss)(flow.params)
     total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
     assert total == 0.0
+
+
+def test_soft_cap_nll_identity_below_and_log_above():
+    v = jnp.array([-150.0, 0.0, 499.9, 500.0, 1e6, 1e13])
+    capped = flows.soft_cap_nll(v, 500.0)
+    # identity at or below the cap
+    np.testing.assert_allclose(np.asarray(capped[:4]), np.asarray(v[:4]))
+    # logarithmic above: cap + log1p(v - cap)
+    np.testing.assert_allclose(float(capped[4]), 500.0 + np.log1p(1e6 - 500.0), rtol=1e-6)
+    assert float(capped[5]) < 540.0  # 1e13 folds to ~cap+30
+    # monotone
+    assert np.all(np.diff(np.asarray(capped)) >= 0)
+
+
+def test_soft_cap_nll_gradient_damped_not_zero():
+    g = jax.grad(lambda x: flows.soft_cap_nll(x, 500.0).sum())(
+        jnp.array([100.0, 1e6]))
+    assert float(g[0]) == 1.0  # untouched below cap
+    assert 0.0 < float(g[1]) < 1e-5  # damped to ~1/(v-cap), never dead
+
+
+def test_capped_flow_loss_matches_uncapped_on_healthy_data():
+    from links_tpu.objectives import flow_nll
+
+    flow = flows.init_flow(jax.random.PRNGKey(0), 34, n_blocks=4, hidden=32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 34)) * 0.1
+    key = jax.random.PRNGKey(2)
+    l0, _ = flow_nll.full_flow_loss(flow.params, flow.perm, x, key)
+    l1, _ = flow_nll.full_flow_loss(flow.params, flow.perm, x, key, nll_cap=1e4)
+    # healthy NLLs sit far below any sensible cap -> bit-identical loss
+    np.testing.assert_allclose(float(l0), float(l1), rtol=0, atol=0)
