@@ -36,7 +36,7 @@ BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 
 
 def _flagship_step(batch: int, bf16: bool = True,
-                   bf16_opt_state: bool = False):
+                   bf16_opt_state: bool = True):
     """(step, stacked_params, optimizer) for the flagship stage-3a train
     step — shared by the scan-fed and stream-fed measurements."""
     import dataclasses
@@ -69,7 +69,7 @@ def _flagship_step(batch: int, bf16: bool = True,
 
 
 def _measure_tpu(batch: int = BATCH, bf16: bool = True,
-                 bf16_opt_state: bool = False) -> float:
+                 bf16_opt_state: bool = True) -> float:
     step, stacked, optimizer = _flagship_step(batch, bf16, bf16_opt_state)
     # one timing harness for every stage (flagship included) so the
     # warmup/repeat/counting methodology cannot drift between rows
@@ -441,11 +441,14 @@ def main(argv=None):
                 "metric": f"{name}_train_poses_per_sec_per_chip",
                 "value": round(value, 1), "unit": "poses/s",
             }))
-        # the opt-in bf16-Adam-moments knob (--bf16-opt-state): not the
-        # parity recipe, shown as its own row, never the headline
-        value = _measure_tpu(bf16_opt_state=True)
+        # the reference's f32-Adam recipe (--no-bf16-opt-state): the
+        # .pt-import parity row. bf16 moments became the lifter default
+        # in round 4 after the converged twin matched it within noise
+        # (results/r4/eval_bf16_best.json), so the headline now carries
+        # the bf16-moments step and f32 Adam is the labeled parity row.
+        value = _measure_tpu(bf16_opt_state=False)
         print(json.dumps({
-            "metric": "stage3a_train_poses_per_sec_per_chip_bf16_opt_state",
+            "metric": "stage3a_train_poses_per_sec_per_chip_f32_opt_state",
             "value": round(value, 1), "unit": "poses/s",
             "vs_baseline": round(value / baseline, 2),
         }))
@@ -460,7 +463,7 @@ def main(argv=None):
 
     # f32 row alongside the flagship bf16 number (VERDICT r1 weak #6:
     # bf16≈f32 on this workload, which strengthens the headline — show it)
-    value_f32 = _measure_tpu(bf16=False)
+    value_f32 = _measure_tpu(bf16=False, bf16_opt_state=False)
     print(json.dumps({
         "metric": "stage3a_train_poses_per_sec_per_chip_f32",
         "value": round(value_f32, 1),

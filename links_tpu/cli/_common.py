@@ -35,7 +35,8 @@ LIFTER_TORSO = "lifter_torso"     # torso_lifter.pt
 OCCLUSION = "occlusion_models"    # occlusion_model_weights/*.pt
 
 
-def add_common_flags(parser: argparse.ArgumentParser):
+def add_common_flags(parser: argparse.ArgumentParser,
+                     bf16_opt_state_default: bool = False):
     parser.add_argument("--data", default="data/h36m_data.pkl",
                         help="reference-schema pickle")
     parser.add_argument("--dataset", choices=["h36m", "mpi"], default="h36m",
@@ -108,12 +109,22 @@ def add_common_flags(parser: argparse.ArgumentParser):
                              "training destabilizes; default off = the "
                              "reference's uncapped recipe. Healthy NLLs "
                              "are ~-100; 500 is a safe choice")
-    parser.add_argument("--bf16-opt-state", action="store_true",
+    parser.add_argument("--bf16-opt-state", action=argparse.BooleanOptionalAction,
+                        default=bf16_opt_state_default,
                         help="store Adam moments in bfloat16 at rest — "
                              "halves the optimizer-state HBM traffic that "
                              "bounds the train step (PERF.md); ~0.4% noise "
-                             "on per-coordinate step sizes. Default off = "
-                             "the reference's f32 Adam")
+                             "on per-coordinate step sizes. Default ON for "
+                             "the lifter trainers since round 4: the "
+                             "converged stage-3a twin run matched the f32 "
+                             "recipe within noise (best PA 62.01 vs "
+                             "61.83 mm, results/r4/eval_bf16_best.json) "
+                             "for +11.5% step throughput. "
+                             "--no-bf16-opt-state restores the "
+                             "reference's f32 Adam bit-for-bit (the "
+                             ".pt-import parity recipe). Flow/occlusion "
+                             "stages keep the f32 default (no converged "
+                             "bf16 twin exists for them)")
     parser.add_argument("--log", default=None, help="JSONL metrics path")
     parser.add_argument("--wandb", action="store_true", help="mirror metrics to wandb")
     parser.add_argument("--save-pt", action="store_true",

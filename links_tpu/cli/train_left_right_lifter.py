@@ -84,7 +84,7 @@ def main(argv=None):
                              "(lifter_apply dispatches on the checkpoint's "
                              "param structure)")
     C.add_select_by_flag(parser)
-    C.add_common_flags(parser)
+    C.add_common_flags(parser, bf16_opt_state_default=True)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
 

@@ -63,7 +63,7 @@ def main(argv=None):
                              "to the MPI means (train_leg_torso_lifter.py:97) "
                              "but H36M training wants the H36M means")
     C.add_select_by_flag(parser)
-    C.add_common_flags(parser)
+    C.add_common_flags(parser, bf16_opt_state_default=True)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
 
