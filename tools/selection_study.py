@@ -18,11 +18,16 @@ Usage:
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
 def study(path: str):
     rows = []
+    if not os.path.exists(path):
+        print(f"[selection_study] skipping missing curve {path}",
+              file=sys.stderr)
+        return None
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
