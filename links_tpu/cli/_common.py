@@ -113,7 +113,7 @@ def add_common_flags(parser: argparse.ArgumentParser,
                         default=bf16_opt_state_default,
                         help="store Adam moments in bfloat16 at rest — "
                              "halves the optimizer-state HBM traffic that "
-                             "bounds the train step (PERF.md); ~0.4% noise "
+                             "bounds the train step (PERF.md); ~0.4%% noise "
                              "on per-coordinate step sizes. Default ON for "
                              "the lifter trainers since round 4: the "
                              "converged stage-3a twin run matched the f32 "
@@ -489,12 +489,23 @@ class BestTracker:
     with ``--use-best``.
     """
 
-    def __init__(self, metric: str, gate_metric: str = None):
+    def __init__(self, metric: str, gate_metric: str = None,
+                 deferred: bool = False):
         self.metric = metric
         self.gate_metric = gate_metric
         self.best = float("inf")
         self.epoch = -1
         self.gated_out = 0
+        # deferred mode: improvements snapshot to HBM (async device copy,
+        # microseconds) and hit disk only at flush() — each orbax write
+        # costs ~5-13 s on the tunneled chip (27 MB/s D2H + fsync,
+        # PERF.md "Delivered vs benched"), and early training improves
+        # almost every epoch, so eager best-saves dominated round-4 wall
+        # clock. Trainers flush at --save-every boundaries and at exit:
+        # the best artifact is always at least as durable as the run
+        # checkpoint a crash would resume from.
+        self.deferred = deferred
+        self._pending = None  # (epoch, value, {name: snapshot})
 
     def maybe_restore(self, args, name: str):
         """Seed the tracker from an existing ``<name>_best`` checkpoint so
@@ -529,6 +540,15 @@ class BestTracker:
                 self.gated_out += 1
                 return False
         self.best, self.epoch = float(value), epoch
+        if self.deferred:
+            # device-side copy BEFORE the next donating epoch call can
+            # delete the source buffers (same rule as ckpt._snapshot)
+            self._pending = (epoch, float(value), {
+                name: jax.tree.map(
+                    lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a,
+                    params)
+                for name, params in artifacts.items()})
+            return True
         for name, params in artifacts.items():
             ckpt.save_checkpoint(
                 artifact(args, f"{name}_best"), {"params": params},
@@ -536,6 +556,19 @@ class BestTracker:
                 async_save=async_save,
             )
         return True
+
+    def flush(self, args, async_save=True):
+        """Write the pending deferred best snapshot (no-op when clean)."""
+        if self._pending is None:
+            return
+        epoch, value, arts = self._pending
+        self._pending = None
+        for name, params in arts.items():
+            ckpt.save_checkpoint(
+                artifact(args, f"{name}_best"), {"params": params},
+                extra={"epoch": epoch, self.metric: value},
+                async_save=async_save,
+            )
 
 
 class EpochTimer:
@@ -549,6 +582,8 @@ class EpochTimer:
 
     def __init__(self):
         self.tot = {}
+        self.first = {}   # first-occurrence duration per section: the
+        self.count = {}   # step[0] entry carries the jit compile time
         self._t0 = None
         self._wall0 = None
 
@@ -568,8 +603,10 @@ class EpochTimer:
             try:
                 yield
             finally:
-                self.tot[name] = (self.tot.get(name, 0.0)
-                                  + time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                self.tot[name] = self.tot.get(name, 0.0) + dt
+                self.count[name] = self.count.get(name, 0) + 1
+                self.first.setdefault(name, dt)
 
         return _cm()
 
@@ -587,11 +624,36 @@ class EpochTimer:
             out["poses_per_sec_step"] = round(n_poses / step_s, 1)
         if wall > 0:
             out["poses_per_sec_delivered"] = round(n_poses / wall, 1)
+        # steady-state step rate: the first step section carries the jit
+        # compile (cold: ~3.5 min on the tunneled v5e for the stage-3a
+        # epoch program), which the round-4 report silently folded into
+        # "step" — making the CLI look 36% slower than bench when the
+        # steady step actually BEATS it (PERF.md "Delivered vs benched")
+        n_steps = self.count.get("step", 0)
+        if n_steps > 1 and step_s > self.first.get("step", 0.0):
+            per_epoch = n_poses / n_steps
+            steady = (per_epoch * (n_steps - 1)
+                      / (step_s - self.first["step"]))
+            out["poses_per_sec_step_steady"] = round(steady, 1)
+            out["time_step_first_s"] = round(self.first["step"], 3)
+        # every section's first occurrence may carry a compile (validate:
+        # the batched-SVD PA program costs ~100s cold vs ~0.2s steady on
+        # the tunneled v5e); expose them so delivered accounting can
+        # separate one-time compile from per-epoch cost
+        for name, cnt in self.count.items():
+            if name != "step" and cnt > 1:
+                out[f"time_{name}_first_s"] = round(self.first[name], 3)
         parts = " ".join(f"{k}={v:.1f}s ({100*v/wall:.0f}%)"
                          for k, v in rows.items() if wall > 0)
+        extra = ""
+        if "time_step_first_s" in out:
+            extra = (f" [step0 {out['time_step_first_s']:.1f}s incl. "
+                     f"compile; steady "
+                     f"{out['poses_per_sec_step_steady']:.0f} poses/s]")
         print(f"[links_tpu] wall {wall:.1f}s: {parts}; delivered "
               f"{out.get('poses_per_sec_delivered', 0):.0f} poses/s "
-              f"(step-only {out.get('poses_per_sec_step', 0):.0f})")
+              f"(step-only {out.get('poses_per_sec_step', 0):.0f})"
+              + extra)
         if logger is not None:
             logger.log(out)
         return out
@@ -624,6 +686,57 @@ def select_gate(args) -> str:
     """Gate metric for BestTracker, or None (only nll-tilt gates)."""
     return ("val_tilt" if getattr(args, "select_by", "pa") == "nll-tilt"
             else None)
+
+
+def add_flip_guard_flag(parser: argparse.ArgumentParser):
+    parser.add_argument(
+        "--flip-guard", type=int, default=None, metavar="K",
+        help="stop training after K consecutive depth-flipped validation "
+             "epochs (metrics.depth_tilt_score >= 0). The unsupervised "
+             "lifting objective's loss keeps improving after the lifter "
+             "walks into the depth-flipped mode (RESULTS.md mode-flip "
+             "section), so a flipped 327k-pose run silently burns the "
+             "rest of its chip time; the best checkpoint is already "
+             "saved, so stopping loses nothing. Arms after the first "
+             "un-flipped validation epoch (a run that is flipped from "
+             "initialization never fires — that is a selection problem, "
+             "not a training-divergence one). Off by default; the "
+             "tilt alarm is logged as val_tilt regardless")
+
+
+class FlipGuard:
+    """Early-stop on a sustained depth flip (VERDICT r4 next #5: the
+    framework can *see* the flip through depth_tilt_score — it should act
+    on it during training, not only at checkpoint-selection time)."""
+
+    def __init__(self, patience: int | None):
+        self.patience = patience
+        self.armed = False
+        self.streak = 0
+        self.fired_epoch = -1
+
+    def update(self, epoch: int, rec: dict) -> bool:
+        """Feed one validation record; True => stop training now."""
+        if self.patience is None:
+            return False
+        tilt = rec.get("val_tilt")
+        if tilt is None:
+            return False
+        if tilt < 0.0:
+            self.armed = True
+            self.streak = 0
+            return False
+        if not self.armed:
+            return False
+        self.streak += 1
+        if self.streak >= self.patience:
+            self.fired_epoch = epoch
+            print(f"[links_tpu] --flip-guard: stopping at epoch {epoch} — "
+                  f"{self.streak} consecutive depth-flipped validation "
+                  f"epochs (val_tilt >= 0); the best checkpoint is "
+                  f"unaffected")
+            return True
+        return False
 
 
 def add_use_best_flag(parser: argparse.ArgumentParser):
@@ -690,16 +803,103 @@ def save_run(args, stage: str, state, key, next_epoch: int,
                          async_save=async_save)
 
 
+def _pathkey(path) -> tuple:
+    """Structure-insensitive key for a tree path: the sequence of name/
+    index tokens. Orbax metadata trees are nested dicts (keystr
+    ``['state']['opt_state'][1]['mu']``) while the live restore target
+    holds dataclasses (keystr ``.state.opt_state[1].mu``); token-wise the
+    two spell the same leaf."""
+    import re
+
+    import jax.tree_util as jtu
+
+    return tuple(re.findall(r"[A-Za-z0-9_]+", jtu.keystr(path)))
+
+
+def _restore_dtype_drift(path, target):
+    """Float-dtype drift between a run checkpoint and the configured
+    restore target (ADVICE r4: resuming a pre-round-4 f32-Adam run under
+    the bf16-moments default would silently cast the optimizer moments
+    mid-run). Returns ``{pathkey: (stored, configured)}`` for every float
+    leaf whose on-disk dtype differs, or {} (also on any metadata-read
+    failure — the guard is best-effort, never a resume blocker)."""
+    import jax.tree_util as jtu
+    import numpy as np
+
+    try:
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            meta = ckptr.metadata(str(Path(path).absolute()))
+        # orbax ≥0.6 wraps the per-leaf tree in StepMetadata.item_metadata
+        meta = getattr(meta, "item_metadata", meta)
+        stored = {_pathkey(p): np.dtype(m.dtype)
+                  for p, m in jtu.tree_flatten_with_path(meta)[0]
+                  if getattr(m, "dtype", None) is not None}
+    except Exception:
+        return {}
+    drift = {}
+    for p, leaf in jtu.tree_flatten_with_path(target)[0]:
+        want = getattr(leaf, "dtype", None)
+        k = _pathkey(p)
+        if want is None or k not in stored:
+            continue
+        have = stored[k]
+        # jnp.issubdtype, not np: bfloat16 is an ml_dtypes type that numpy
+        # does not classify under np.floating
+        if (jnp.issubdtype(np.dtype(want), jnp.floating)
+                and jnp.issubdtype(have, jnp.floating) and have != want):
+            drift[k] = (have, np.dtype(want))
+    return drift
+
+
 def maybe_resume(args, stage: str, state, key):
     """→ (state, key, start_epoch); restores the run checkpoint when
     --resume is set and one exists."""
     path = artifact(args, f"{stage}_run")
     if not getattr(args, "resume", False) or not path.exists():
         return state, key, 0
-    payload = ckpt.restore_checkpoint(
-        path, target={"state": state, "rng_key": jax.random.key_data(key),
-                      "extra": {"next_epoch": 0}}
-    )
+    target = {"state": state, "rng_key": jax.random.key_data(key),
+              "extra": {"next_epoch": 0}}
+    drift = _restore_dtype_drift(path, target)
+    if drift:
+        k0, (have, want) = next(iter(drift.items()))
+        print(f"[links_tpu] WARNING: resuming {stage}: {len(drift)} float "
+              f"leaves change dtype across the resume boundary (e.g. "
+              f"{'.'.join(k0)}: checkpoint {have} -> configured {want}). "
+              f"For Adam "
+              f"moments this silently changes the optimizer recipe "
+              f"mid-run; pass "
+              f"{'--no-bf16-opt-state' if want == 'bfloat16' else '--bf16-opt-state'} "
+              f"to resume with the checkpoint's own recipe.",
+              file=sys.stderr)
+        # restore at the STORED dtypes, then cast into the configured
+        # target — orbax versions differ on implicit casting, and the
+        # explicit cast keeps the (warned) behavior deterministic
+        import jax.tree_util as jtu
+
+        def _as_stored(p, l):
+            if _pathkey(p) not in drift:
+                return l
+            # keep the leaf's sharding so a multi-device resume restores
+            # onto the same mesh layout as the non-drift path
+            return jax.ShapeDtypeStruct(
+                l.shape, drift[_pathkey(p)][0],
+                sharding=getattr(l, "sharding", None))
+
+        flat, treedef = jtu.tree_flatten_with_path(target)
+        cast_target = jtu.tree_unflatten(
+            treedef, [_as_stored(p, l) for p, l in flat])
+        payload = ckpt.restore_checkpoint(path, target=cast_target)
+        payload = jax.tree.map(
+            lambda got, want_leaf: (got.astype(want_leaf.dtype)
+                                    if hasattr(got, "astype")
+                                    and hasattr(want_leaf, "dtype")
+                                    and got.dtype != want_leaf.dtype
+                                    else got),
+            payload, target)
+    else:
+        payload = ckpt.restore_checkpoint(path, target=target)
     restored_key = ckpt.restore_rng_key(payload)
     if restored_key is None:
         restored_key = key
@@ -734,11 +934,42 @@ def resolve_cfg(args, cfg):
     opt_kw = {}
     if getattr(args, "clip_grad", None) is not None:
         opt_kw["clip_grad_norm"] = args.clip_grad
-    if getattr(args, "bf16_opt_state", False):
-        opt_kw["bf16_moments"] = True
+    if hasattr(args, "bf16_opt_state"):
+        # authoritative in BOTH directions: --no-bf16-opt-state must win
+        # even if the config-level default ever flips (ADVICE r4)
+        opt_kw["bf16_moments"] = bool(args.bf16_opt_state)
     if opt_kw:
         kw["optim"] = dataclasses.replace(cfg.optim, **opt_kw)
     return dataclasses.replace(cfg, **kw) if kw else cfg
+
+
+def setup_compilation_cache():
+    """Enable the persistent XLA compilation cache for every CLI.
+
+    Measured on the tunneled v5e: the stage-3a epoch program cold-compiles
+    in ~3.5 minutes — 60%+ of a short run's wall clock, and the single
+    largest term in the round-4 delivered-vs-benched gap (PERF.md). jax
+    0.9 no longer reads $JAX_COMPILATION_CACHE_DIR at import time, so the
+    env var silently did nothing for the CLIs; this sets the config
+    explicitly. The env var still wins when set; the default is a
+    per-user host-local dir (cache entries encode the compile machine's
+    ISA — a shared/network dir risks SIGILL on heterogeneous hosts).
+    Set JAX_COMPILATION_CACHE_DIR= (empty) to disable."""
+    import os as _os
+
+    import jax as _jax
+
+    env = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if env == "":
+        return
+    cache_dir = env or _os.path.expanduser("~/.cache/links_tpu/xla")
+    try:
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # flow/metric programs compile in 1-20s each and recur across the
+        # five stage CLIs; cache everything non-trivial
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # unknown config name on an older jax: cold compiles only
 
 
 def maybe_init_distributed(args):
@@ -753,6 +984,8 @@ def maybe_init_distributed(args):
     accelerator; re-asserting it through jax.config makes the env var
     authoritative for every CLI."""
     import os as _os
+
+    setup_compilation_cache()
 
     env_platform = _os.environ.get("JAX_PLATFORMS")
     if env_platform:

@@ -56,21 +56,29 @@ def main(argv=None):
 
     _, epoch_fn, data2d, _ = C.train_feed(args, cfg, step, train_data, packed)
 
+    timer = C.EpochTimer().start()
+    epochs_run = 0
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
-        state, losses = epoch_fn(state, data2d, sub)
-        rec = {k: float(v) for k, v in jax.device_get(losses).items()}
+        with timer.section("step"):
+            state, losses = epoch_fn(state, data2d, sub)
+            rec = {k: float(v) for k, v in jax.device_get(losses).items()}
+        epochs_run += 1
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
         print(f"epoch {epoch}: " + " ".join(f"{k}={v:.4f}" for k, v in rec.items()
                                             if k != "epoch"))
         # reference saves per epoch (:115); --save-every relaxes that
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
-            C.save_flow(args, C.FULL_FLOW, flows.Flow(state.params, flow.perm),
-                        async_save=True)
-            C.save_run(args, "full_flow", state, key, epoch + 1,
-                       async_save=True)
-    ckpt.wait_for_saves()
+            with timer.section("checkpoint"):
+                C.save_flow(args, C.FULL_FLOW,
+                            flows.Flow(state.params, flow.perm),
+                            async_save=True)
+                C.save_run(args, "full_flow", state, key, epoch + 1,
+                           async_save=True)
+    with timer.section("checkpoint"):
+        ckpt.wait_for_saves()
+    timer.report(epochs_run * steps_per_epoch * cfg.batch_size, logger)
     logger.close()
     return state
 

@@ -84,6 +84,7 @@ def main(argv=None):
                              "(lifter_apply dispatches on the checkpoint's "
                              "param structure)")
     C.add_select_by_flag(parser)
+    C.add_flip_guard_flag(parser)
     C.add_common_flags(parser, bf16_opt_state_default=True)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
@@ -149,7 +150,8 @@ def main(argv=None):
                     else parallel.replicate(bone_means, mesh))
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
     best = C.BestTracker(C.select_metric(args, "pa_mean"),
-                         gate_metric=C.select_gate(args))
+                         gate_metric=C.select_gate(args), deferred=True)
+    guard = C.FlipGuard(args.flip_guard)
     # fixed key: the unsupervised validation criterion must be comparable
     # across epochs, so its rotation draw never changes
     val_key = jax.random.PRNGKey(args.seed + 20_000)
@@ -160,12 +162,14 @@ def main(argv=None):
         best.maybe_restore(args, C.LIFTER_LR)
 
     timer = C.EpochTimer().start()
+    epochs_run = 0
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
         with timer.section("step"):
             state, losses = epoch_fn(state, data2d, sub)
             # one batched D2H instead of one tunnel round trip per key
             rec = {k: float(v) for k, v in jax.device_get(losses).items()}
+        epochs_run += 1
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
             with timer.section("validate"):
@@ -185,22 +189,33 @@ def main(argv=None):
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_right={rec['pa_right']:.2f}"
                     f" n-mpjpe_l={rec['mpjpe_scaled_left']:.2f}")
+        stop = guard.update(epoch, rec)
+        if stop:
+            rec["flip_guard_stop"] = 1.0
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
         print(msg)
-        if C.due(args, epoch, cfg.n_epochs, "save_every"):
+        if stop or C.due(args, epoch, cfg.n_epochs, "save_every"):
             with timer.section("checkpoint"):
-                C.save_params(args, C.LIFTER_LR, state.params,
-                              async_save=True)
+                best.flush(args)
+                # the consumer-facing params artifact only on completion:
+                # mid-run it duplicates a third of the run checkpoint's
+                # bytes, and D2H on the tunneled chip (27 MB/s) is what
+                # bounds delivered throughput (PERF.md "Delivered vs
+                # benched"); a crash recovers through --resume instead
+                if stop or epoch + 1 == cfg.n_epochs:
+                    C.save_params(args, C.LIFTER_LR, state.params,
+                                  async_save=True)
                 C.save_run(args, "left_right", state, key, epoch + 1,
                            async_save=True)
+        if stop:
+            break
     with timer.section("checkpoint"):  # drain in-flight async writes
         from links_tpu import ckpt as _ckpt
 
+        best.flush(args)
         _ckpt.wait_for_saves()
-    timer.report(
-        (cfg.n_epochs - start_epoch) * steps_per_epoch * cfg.batch_size,
-        logger)
+    timer.report(epochs_run * steps_per_epoch * cfg.batch_size, logger)
 
     if best.gate_metric and best.gated_out:
         print(f"[links_tpu] --select-by {args.select_by}: flip alarm vetoed "

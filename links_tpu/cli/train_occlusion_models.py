@@ -38,6 +38,21 @@ def _validate(completers, lifters, test_2d, test_3d, depth: float = 10.0):
     return out
 
 
+@partial(jax.jit, static_argnames=("depth",))
+def _validate_unsup(completers, lifters, test_2d, key, depth: float = 10.0):
+    """Unsupervised selection criterion (VERDICT r4 next #6): the stage's
+    own training signal — completer MSE against the frozen lifters'
+    pseudo-3D — evaluated on the *validation* split's 2D with a fixed
+    rotation key. No GT 3D involved, so ``--select-by mse`` keeps model
+    selection GT-free through stage 4 (the reference hand-picks on wandb
+    scenario curves, train_occlusion_models.py:317-372)."""
+    pose_3d = occ.pseudo_3d_from_lifters(lifters["legs"], lifters["torso"],
+                                         test_2d, depth)
+    pose_3d = jax.lax.stop_gradient(pose_3d)
+    loss, _ = occ.occlusion_loss(completers, pose_3d, key)
+    return {"val_mse": loss}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Train 2D INN with PCA")
     # reference flag set (train_occlusion_models.py:27-42)
@@ -61,6 +76,14 @@ def main(argv=None):
     parser.add_argument("--weight-decay", type=float, default=None,
                         help="override Adam weight decay for this stage "
                              "(reference: 1e-5 everywhere)")
+    parser.add_argument(
+        "--select-by", choices=["pa", "mse"], default="pa",
+        help="best-checkpoint selection criterion: 'pa' = mean GT-3D "
+             "scenario PA-MPJPE (uses test-set 3D GT for selection only); "
+             "'mse' = held-out completer MSE against the frozen lifters' "
+             "pseudo-3D — the training signal itself on the validation "
+             "split, keeping selection GT-free (RESULTS.md compares the "
+             "PA cost). Both are logged every validation epoch regardless")
     C.add_lifter_flags(parser)
     C.add_common_flags(parser)
     C.add_lr_pt_flags(parser)
@@ -98,44 +121,67 @@ def main(argv=None):
         test_data.poses_2d, test_data.poses_3d,
     )
     state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
-    best = C.BestTracker("pa_scenario_mean")
+    best = C.BestTracker("val_mse" if args.select_by == "mse"
+                         else "pa_scenario_mean", deferred=True)
+    # fixed key: the MSE criterion's rotation draw must be comparable
+    # across epochs (same rule as the lifter trainers' val_key)
+    val_key = jax.random.PRNGKey(args.seed + 20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
         # first --save-every boundary leaves start_epoch=0 but a valid
         # <name>_best that must still seed the bar (ADVICE r1)
         best.maybe_restore(args, C.OCCLUSION)
 
+    timer = C.EpochTimer().start()
+    epochs_run = 0
     for epoch in range(start_epoch, cfg.n_epochs):
         key, sub = jax.random.split(key)
-        state, losses = epoch_fn(state, data2d, sub)
-        rec = {k: float(v) for k, v in jax.device_get(losses).items()}
+        with timer.section("step"):
+            state, losses = epoch_fn(state, data2d, sub)
+            rec = {k: float(v) for k, v in jax.device_get(losses).items()}
+        epochs_run += 1
         msg = f"epoch {epoch}: loss={rec['loss']:.4f}"
         if C.due(args, epoch, cfg.n_epochs, "validate_every"):
-            val = {k: float(v) for k, v in jax.device_get(
-                   _validate(state.params, lifters, test2d, test3d,
-                             depth=cfg.depth)).items()}
-            rec.update(val)
+            with timer.section("validate"):
+                val = {k: float(v) for k, v in jax.device_get(
+                       _validate(state.params, lifters, test2d, test3d,
+                                 depth=cfg.depth)).items()}
+                rec.update(val)
+                rec.update({k: float(v) for k, v in jax.device_get(
+                    _validate_unsup(state.params, lifters, test2d, val_key,
+                                    depth=cfg.depth)).items()})
             # completers overfit the frozen lifters' pseudo-3D; track the
             # best mean scenario PA like the lifter stages track theirs.
             # Mean over the validation scenarios only — scanning the merged
             # rec would pick up any future pa_* training loss (ADVICE r1)
             pa_keys = [k for k in val if k.startswith("pa_")]
             rec["pa_scenario_mean"] = sum(val[k] for k in pa_keys) / len(pa_keys)
-            if best.update(args, epoch, rec, {C.OCCLUSION: state.params},
-                           async_save=True):
-                msg += " [best]"
+            with timer.section("checkpoint"):
+                if best.update(args, epoch, rec, {C.OCCLUSION: state.params},
+                               async_save=True):
+                    msg += " [best]"
             msg += (f" pa_left={rec['pa_left']:.2f}"
                     f" pa_torso={rec['pa_torso']:.2f}")
         rec["epoch"] = epoch
         logger.log(rec, step=epoch)
         print(msg)
         if C.due(args, epoch, cfg.n_epochs, "save_every"):
-            C.save_params(args, C.OCCLUSION, state.params, async_save=True)
-            C.save_run(args, "occlusion", state, key, epoch + 1,
-                       async_save=True)
+            with timer.section("checkpoint"):
+                best.flush(args)
+                # consumer-facing params artifact only on completion —
+                # see the stage-3a twin: mid-run it duplicates run-
+                # checkpoint bytes over the 27 MB/s tunnel D2H
+                if epoch + 1 == cfg.n_epochs:
+                    C.save_params(args, C.OCCLUSION, state.params,
+                                  async_save=True)
+                C.save_run(args, "occlusion", state, key, epoch + 1,
+                           async_save=True)
     from links_tpu import ckpt as _ckpt
 
-    _ckpt.wait_for_saves()
+    with timer.section("checkpoint"):
+        best.flush(args)
+        _ckpt.wait_for_saves()
+    timer.report(epochs_run * steps_per_epoch * cfg.batch_size, logger)
 
     if args.save_pt:
         from links_tpu import ckpt

@@ -335,3 +335,87 @@ def test_best_tracker_tilt_gate(tmp_path):
     assert t.update(args, 2, {"val_nll": 2.0, "val_tilt": -0.4},
                     {"thing": params})
     assert t.epoch == 2 and t.best == 2.0
+
+
+def test_best_tracker_deferred_flush(tmp_path):
+    """Deferred mode (round 5): improvements snapshot to device memory and
+    hit disk only at flush() — each orbax write costs seconds on the
+    tunneled chip (PERF.md "Delivered vs benched"), and early training
+    improves almost every epoch. The snapshot must be a COPY: mutating
+    (donating) the source params after update() must not corrupt the
+    pending best."""
+    import argparse
+
+    from links_tpu.cli import _common as C
+
+    args = argparse.Namespace(model_dir=str(tmp_path))
+    t = C.BestTracker("pa", deferred=True)
+
+    params = {"w": jnp.ones((2, 2))}
+    assert t.update(args, 0, {"pa": 100.0}, {"thing": params})
+    assert not (tmp_path / "thing_best").exists()  # nothing on disk yet
+
+    # a second improvement replaces the pending snapshot in place
+    params2 = {"w": 2.0 * jnp.ones((2, 2))}
+    assert t.update(args, 1, {"pa": 90.0}, {"thing": params2})
+    del params2  # donation analogue: source buffers gone before flush
+
+    t.flush(args, async_save=False)
+    saved = ckpt.restore_checkpoint(tmp_path / "thing_best")
+    np.testing.assert_allclose(saved["state"]["params"]["w"],
+                               2.0 * np.ones((2, 2)))
+    assert saved["extra"]["epoch"] == 1 and saved["extra"]["pa"] == 90.0
+
+    # flush with nothing pending is a no-op (does not rewrite / corrupt)
+    t.flush(args, async_save=False)
+    saved2 = ckpt.restore_checkpoint(tmp_path / "thing_best")
+    assert saved2["extra"]["epoch"] == 1
+
+    # a worse epoch after flush leaves disk untouched
+    assert not t.update(args, 2, {"pa": 95.0}, {"thing": params})
+    t.flush(args, async_save=False)
+    assert ckpt.restore_checkpoint(
+        tmp_path / "thing_best")["extra"]["epoch"] == 1
+
+
+def test_resume_dtype_drift_warns_and_casts(tmp_path, capsys):
+    """ADVICE r4: resuming a run checkpoint whose float leaves (e.g. f32
+    Adam moments) differ from the configured optimizer dtype must warn and
+    cast deterministically — not silently reinterpret or crash on an orbax
+    dtype mismatch."""
+    import argparse
+
+    from links_tpu.cli import _common as C
+
+    args = argparse.Namespace(model_dir=str(tmp_path), resume=True)
+    key = jax.random.PRNGKey(0)
+    # on-disk recipe: f32 moments; int leaf must never be flagged
+    state_f32 = {"params": {"w": jnp.ones((3,), jnp.float32)},
+                 "mu": jnp.full((3,), 0.25, jnp.float32),
+                 "step": jnp.zeros((), jnp.int32)}
+    ckpt.save_checkpoint(C.artifact(args, "stage_run"), state_f32, key=key,
+                         extra={"next_epoch": 7})
+
+    # configured recipe: bf16 moments (the round-4 default flip)
+    state_bf16 = {"params": {"w": jnp.zeros((3,), jnp.float32)},
+                  "mu": jnp.zeros((3,), jnp.bfloat16),
+                  "step": jnp.zeros((), jnp.int32)}
+    drift = C._restore_dtype_drift(
+        C.artifact(args, "stage_run"),
+        {"state": state_bf16, "rng_key": jax.random.key_data(key),
+         "extra": {"next_epoch": 0}})
+    assert len(drift) == 1 and any("mu" in k for k in drift)
+
+    state, out_key, start = C.maybe_resume(args, "stage", state_bf16, key)
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "--no-bf16-opt-state" in err
+    assert start == 7
+    assert state["mu"].dtype == jnp.bfloat16  # configured dtype wins...
+    np.testing.assert_allclose(  # ...with the checkpoint's values
+        np.asarray(state["mu"], np.float32), 0.25)
+    np.testing.assert_allclose(np.asarray(state["params"]["w"]), 1.0)
+
+    # no drift → no warning
+    state2, _, _ = C.maybe_resume(args, "stage", state_f32, key)
+    assert "WARNING" not in capsys.readouterr().err
+    assert state2["mu"].dtype == jnp.float32

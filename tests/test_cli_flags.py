@@ -43,3 +43,84 @@ def test_flow_can_opt_in():
     args = _parse(False, ["--bf16-opt-state"])
     cfg = C.resolve_cfg(args, FlowTrainConfig())
     assert cfg.optim.bf16_moments is True
+
+
+def test_format_help_succeeds_on_every_trainer_parser():
+    """ADVICE r4 (medium): a bare '%' in any help string makes argparse
+    raise on --help. Build each trainer's full parser the way its main()
+    does and render the help text."""
+    def lifter_parser():
+        p = argparse.ArgumentParser()
+        C.add_lifter_flags(p)
+        C.add_select_by_flag(p)
+        C.add_flip_guard_flag(p)
+        C.add_common_flags(p, bf16_opt_state_default=True)
+        return p
+
+    def flow_parser():
+        p = argparse.ArgumentParser()
+        C.add_common_flags(p)
+        return p
+
+    def occ_parser():
+        p = argparse.ArgumentParser()
+        C.add_lifter_flags(p)
+        C.add_common_flags(p)
+        C.add_lr_pt_flags(p)
+        C.add_use_best_flag(p)
+        return p
+
+    for build in (lifter_parser, flow_parser, occ_parser):
+        help_text = build().format_help()  # raises on an unescaped '%'
+        assert "--seed" in help_text
+
+
+def test_resolve_cfg_is_authoritative_both_directions():
+    """ADVICE r4: --no-bf16-opt-state must win even if the config-level
+    default ever flips to True."""
+    import dataclasses
+
+    args = _parse(True, ["--no-bf16-opt-state"])
+    base = LifterTrainConfig()
+    flipped_default = dataclasses.replace(
+        base, optim=dataclasses.replace(base.optim, bf16_moments=True))
+    cfg = C.resolve_cfg(args, flipped_default)
+    assert cfg.optim.bf16_moments is False
+
+
+def test_flip_guard_stops_after_k_flipped_epochs():
+    """--flip-guard K: arms on the first un-flipped validation epoch, then
+    stops after K consecutive flipped ones (cli/_common.py:FlipGuard)."""
+    g = C.FlipGuard(3)
+    # flipped from initialization: never arms, never fires
+    for e in range(5):
+        assert not g.update(e, {"val_tilt": 0.5})
+    assert not g.armed
+    # un-flipped epoch arms the guard
+    assert not g.update(5, {"val_tilt": -0.2})
+    assert g.armed
+    # two flipped epochs: under patience
+    assert not g.update(6, {"val_tilt": 0.1})
+    assert not g.update(7, {"val_tilt": 0.3})
+    # a recovery resets the streak
+    assert not g.update(8, {"val_tilt": -0.1})
+    assert g.streak == 0
+    # K consecutive flipped epochs fire
+    assert not g.update(9, {"val_tilt": 0.2})
+    assert not g.update(10, {"val_tilt": 0.2})
+    assert g.update(11, {"val_tilt": 0.2})
+    assert g.fired_epoch == 11
+    # epochs with no validation record are ignored, not counted
+    g2 = C.FlipGuard(2)
+    assert not g2.update(0, {"val_tilt": -1.0})
+    assert not g2.update(1, {})          # non-validation epoch
+    assert not g2.update(2, {"val_tilt": 0.1})
+    assert not g2.update(3, {})
+    assert g2.update(4, {"val_tilt": 0.1})
+
+
+def test_flip_guard_disabled_by_default():
+    g = C.FlipGuard(None)
+    assert not g.update(0, {"val_tilt": -1.0})
+    assert not g.update(1, {"val_tilt": 5.0})
+    assert not g.update(2, {"val_tilt": 5.0})

@@ -57,6 +57,28 @@ def study(path: str):
                               "pa_cost_mm": round(by_loss[1] - by_pa[1], 2)},
         "final_epoch_pa": round(rows[-1][1], 2),
     }
+    # flip diagnostics (VERDICT r4 next #1): does this curve end in the
+    # depth-flipped mode (PA well above the best epoch), and does the
+    # unsupervised tilt alarm actually read positive over that final
+    # flipped segment — i.e. would the nll-tilt gate have seen it?
+    flipped = rows[-1][1] - by_pa[1] > 15.0
+    out["flipped_at_end"] = flipped
+    if rows[-1][4] is not None:
+        out["final_epoch_tilt"] = round(rows[-1][4], 4)
+        if flipped:
+            # the contiguous final segment with PA >15mm above best
+            seg = []
+            for r in reversed(rows):
+                if r[1] - by_pa[1] > 15.0:
+                    seg.append(r)
+                else:
+                    break
+            pos = sum(1 for r in seg if r[4] is not None and r[4] >= 0.0)
+            out["flipped_segment"] = {
+                "epochs": len(seg),
+                "tilt_positive": pos,
+                "tilt_agreement": round(pos / len(seg), 3) if seg else None,
+            }
     # nll-tilt (VERDICT r3 next #3): NLL restricted to epochs whose
     # depth-flip alarm is negative (metrics.depth_tilt_score — the
     # un-flipped mode). Curves from before round 4 don't log val_tilt.
