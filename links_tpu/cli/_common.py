@@ -36,7 +36,8 @@ OCCLUSION = "occlusion_models"    # occlusion_model_weights/*.pt
 
 
 def add_common_flags(parser: argparse.ArgumentParser,
-                     bf16_opt_state_default: bool = False):
+                     bf16_opt_state_default: bool = False,
+                     nll_cap_default: float = None):
     parser.add_argument("--data", default="data/h36m_data.pkl",
                         help="reference-schema pickle")
     parser.add_argument("--dataset", choices=["h36m", "mpi"], default="h36m",
@@ -100,15 +101,22 @@ def add_common_flags(parser: argparse.ArgumentParser,
                              "self-sample NLL, which can explode on a "
                              "single outlier batch; default off = the "
                              "reference's unclipped recipe)")
-    parser.add_argument("--nll-cap", type=float, default=None,
+    parser.add_argument("--nll-cap", type=float, default=nll_cap_default,
                         help="soft-cap the per-sample flow NLL terms "
                              "(identity below the cap, cap+log1p above; "
                              "flows.soft_cap_nll). Robust-training guard "
-                             "for heavy-tailed 2D corpora (--no-gt-2d "
-                             "detector keypoints) where raw-MLE flow "
-                             "training destabilizes; default off = the "
-                             "reference's uncapped recipe. Healthy NLLs "
-                             "are ~-100; 500 is a safe choice")
+                             "against one-outlier-batch NLL detonations "
+                             "(heavy-tailed detector 2D; the gt self-"
+                             "sample spike at 327k scale, RESULTS.md "
+                             "round-5). Healthy NLLs are ~-100, so 500 "
+                             "is identity on every healthy sample. "
+                             "Default 500 for the LIFTER trainers since "
+                             "round 5: the seed-identical capped twin "
+                             "matched best PA within 0.16 mm and removed "
+                             "the epoch-89 loss spike entirely. "
+                             "--nll-cap 0 disables (the reference's "
+                             "uncapped parity recipe); flow stages keep "
+                             "the uncapped default")
     parser.add_argument("--bf16-opt-state", action=argparse.BooleanOptionalAction,
                         default=bf16_opt_state_default,
                         help="store Adam moments in bfloat16 at rest — "

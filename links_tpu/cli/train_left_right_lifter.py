@@ -85,7 +85,8 @@ def main(argv=None):
                              "param structure)")
     C.add_select_by_flag(parser)
     C.add_flip_guard_flag(parser)
-    C.add_common_flags(parser, bf16_opt_state_default=True)
+    C.add_common_flags(parser, bf16_opt_state_default=True,
+                       nll_cap_default=500.0)
     args = parser.parse_args(argv)
     C.maybe_init_distributed(args)
 

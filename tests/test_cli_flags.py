@@ -124,3 +124,34 @@ def test_flip_guard_disabled_by_default():
     assert not g.update(0, {"val_tilt": -1.0})
     assert not g.update(1, {"val_tilt": 5.0})
     assert not g.update(2, {"val_tilt": 5.0})
+
+
+def test_nll_cap_default_asymmetry():
+    """Round 5: --nll-cap defaults to 500 for the LIFTER trainers (the
+    seed-identical capped twin matched best PA within 0.16 mm and removed
+    the epoch-89 self-sample detonation — RESULTS.md round-5), identity on
+    healthy samples; flow trainers keep the uncapped reference default.
+    --nll-cap 0 disables (parity recipe)."""
+    p = argparse.ArgumentParser()
+    C.add_common_flags(p, bf16_opt_state_default=True, nll_cap_default=500.0)
+    args = p.parse_args([])
+    assert args.nll_cap == 500.0
+    cfg = C.resolve_cfg(args, LifterTrainConfig())
+    assert cfg.nll_cap == 500.0
+
+    args_off = p.parse_args(["--nll-cap", "0"])
+    cfg_off = C.resolve_cfg(args_off, LifterTrainConfig())
+    assert cfg_off.nll_cap == 0.0
+
+    flow_args = _parse(False, [])
+    assert flow_args.nll_cap is None
+    flow_cfg = C.resolve_cfg(flow_args, FlowTrainConfig())
+    assert flow_cfg.nll_cap == 0.0
+
+    # the trainer CLIs themselves carry the defaults
+    from links_tpu.cli.train_left_right_lifter import main as _  # noqa
+    import links_tpu.cli.train_left_right_lifter as lr
+    import links_tpu.cli.train_leg_torso_lifter as lt
+    for mod in (lr, lt):
+        src = open(mod.__file__).read()
+        assert "nll_cap_default=500.0" in src
