@@ -676,13 +676,18 @@ def add_select_by_flag(parser: argparse.ArgumentParser):
              "checkpoints on: 'pa' = GT-3D PA-MPJPE (what the reference "
              "eyeballs on wandb — uses test-set 3D GT for selection only); "
              "'nll' = part-flow NLL of the validation reprojections; "
-             "'loss' = the full unsupervised validation objective; "
+             "'loss' = the full unsupervised validation objective — the "
+             "RECOMMENDED unsupervised criterion (round-5 study over 8 "
+             "converged curves: worst case +5.8 mm vs the GT pick even "
+             "on a depth-flipped run, where plain nll loses +70 mm — "
+             "RESULTS.md round-5 selection table); "
              "'nll-tilt' = NLL gated by the depth-flip alarm "
              "(metrics.depth_tilt_score — only un-flipped epochs are "
-             "eligible, fixing NLL's preference for the flipped mode). "
-             "nll/loss/nll-tilt keep the pipeline end-to-end unsupervised "
-             "including model selection; all metrics are logged every "
-             "validation epoch regardless")
+             "eligible; cuts nll's flip failure to +29 mm but over-vetoes "
+             "partially-flipped runs). nll/loss/nll-tilt keep the "
+             "pipeline end-to-end unsupervised including model "
+             "selection; all metrics are logged every validation epoch "
+             "regardless")
 
 
 def select_metric(args, pa_name: str) -> str:

@@ -42,7 +42,9 @@ PHASE="${1:?phase required: measured|stage12|cap|packed|flipseek|guard|b3|occ|st
 
 CORPUS="runs/r4/corpus.pkl"
 FLOWS="runs/r4/models_gt"
-COMMON="--data $CORPUS --synthetic --synthetic-n 65536 --synthetic-test-n 8192 --test-scale auto --save-every 10 --bone-means data"
+COMMON="--data $CORPUS --synthetic --synthetic-n 65536 --synthetic-test-n 8192 --test-scale auto --save-every 10"
+# --bone-means is a lifter-stage flag only (flow/occlusion CLIs reject it)
+LIFTER="$COMMON --bone-means data"
 
 seed_dir () {  # seed_dir <name> -> fresh model dir with the frozen flows
   local D="runs/r5/$1"
@@ -57,7 +59,7 @@ seed_dir () {  # seed_dir <name> -> fresh model dir with the frozen flows
 phase_measured () {
   local M; M=$(seed_dir measured)
   echo "=== [measured] stage 3a seed 42, default recipe ==="
-  time python -m links_tpu.cli.train_left_right_lifter $COMMON --seed 42 \
+  time python -m links_tpu.cli.train_left_right_lifter $LIFTER --seed 42 \
     --model-dir "$M" 2>&1 | tee results/r5/delivered_stage3a.log
   cp "$M/left_right_lifter.jsonl" results/r5/gt_s42_left_right_curve.jsonl
 }
@@ -76,7 +78,7 @@ phase_stage12 () {
 phase_cap () {
   local M; M=$(seed_dir cap)
   echo "=== [cap] stage 3a seed 42 twin, --nll-cap 500 ==="
-  time python -m links_tpu.cli.train_left_right_lifter $COMMON --seed 42 \
+  time python -m links_tpu.cli.train_left_right_lifter $LIFTER --seed 42 \
     --model-dir "$M" --nll-cap 500 2>&1 | tee results/r5/delivered_stage3a_cap.log
   cp "$M/left_right_lifter.jsonl" results/r5/gt_s42_cap_left_right_curve.jsonl
 }
@@ -86,7 +88,7 @@ phase_packed () {
   local PACK="runs/r5/corpus.lnks"
   rm -f "$PACK"  # a stale pack would make --bone-means data unservable
   echo "=== [packed] stage 3a seed 42 twin through the native loader ==="
-  time python -m links_tpu.cli.train_left_right_lifter $COMMON --seed 42 \
+  time python -m links_tpu.cli.train_left_right_lifter $LIFTER --seed 42 \
     --model-dir "$M" --packed-data "$PACK" \
     2>&1 | tee results/r5/delivered_stage3a_packed.log
   cp "$M/left_right_lifter.jsonl" results/r5/gt_s42_packed_left_right_curve.jsonl
@@ -96,7 +98,7 @@ phase_flipseek () {
   for S in 101 102 103; do
     local M; M=$(seed_dir "flipseek_s$S")
     echo "=== [flipseek] stage 3a seed $S, 150 epochs ==="
-    time python -m links_tpu.cli.train_left_right_lifter $COMMON --seed "$S" \
+    time python -m links_tpu.cli.train_left_right_lifter $LIFTER --seed "$S" \
       --epochs 150 --model-dir "$M" \
       2>&1 | tee "results/r5/flipseek_s${S}.log" \
       | grep -E "\[best\]|epoch (0|[0-9]*[05]):" || true
@@ -108,7 +110,7 @@ phase_guard () {
   local S="${2:?guard needs the flipped seed as arg 2}"
   local M; M=$(seed_dir "guard_s$S")
   echo "=== [guard] stage 3a seed $S with --flip-guard 5 ==="
-  time python -m links_tpu.cli.train_left_right_lifter $COMMON --seed "$S" \
+  time python -m links_tpu.cli.train_left_right_lifter $LIFTER --seed "$S" \
     --epochs 150 --model-dir "$M" --flip-guard 5 \
     2>&1 | tee "results/r5/guard_s${S}.log"
   cp "$M/left_right_lifter.jsonl" "results/r5/guard_s${S}_curve.jsonl"
@@ -117,13 +119,13 @@ phase_guard () {
 phase_b3 () {
   local M; M=$(seed_dir b3)
   echo "=== [b3] stage 3b seed 42, default recipe (bf16 moments) ==="
-  time python -m links_tpu.cli.train_leg_torso_lifter $COMMON --seed 42 \
+  time python -m links_tpu.cli.train_leg_torso_lifter $LIFTER --seed 42 \
     --model-dir "$M" 2>&1 | tee results/r5/delivered_stage3b.log
   cp "$M/leg_torso_lifter.jsonl" results/r5/gt_s42_leg_torso_curve.jsonl
 
   local M2; M2=$(seed_dir b3_f32)
   echo "=== [b3] stage 3b seed 42 twin, --no-bf16-opt-state ==="
-  time python -m links_tpu.cli.train_leg_torso_lifter $COMMON --seed 42 \
+  time python -m links_tpu.cli.train_leg_torso_lifter $LIFTER --seed 42 \
     --model-dir "$M2" --no-bf16-opt-state \
     2>&1 | tee results/r5/delivered_stage3b_f32.log
   cp "$M2/leg_torso_lifter.jsonl" results/r5/gt_s42_f32_leg_torso_curve.jsonl
@@ -152,12 +154,18 @@ phase_occ () {
 
 phase_serve () {
   # VERDICT #4: the production serving matrix — converged weights, int8
-  # static quant, fused kernel where eligible, hostile clients injected.
-  echo "=== [serve] serve_load v2 production config ==="
+  # static quant OR the fused bf16 kernel (mutually exclusive: the Pallas
+  # kernel multiplies in bf16), hostile clients injected into both.
+  echo "=== [serve] serve_load v2: int8-static + fault injection ==="
   python benchmarks/serve_load.py --model-dir runs/r5/occ --data "$CORPUS" \
-    --use-best --quant int8-static --fused --fault 2 \
+    --use-best --quant int8-static --fault 2 \
     --clients 8 --requests 20 --rows 50 \
     | tee results/r5/serve_load_v2.json
+  echo "=== [serve] serve_load v2: fused bf16 kernel + fault injection ==="
+  python benchmarks/serve_load.py --model-dir runs/r5/occ --data "$CORPUS" \
+    --use-best --fused --fault 2 \
+    --clients 8 --requests 20 --rows 50 \
+    | tee results/r5/serve_load_v2_fused.json
 }
 
 phase_study () {
