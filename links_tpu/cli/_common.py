@@ -1057,7 +1057,10 @@ def _calib_poses(args):
     import numpy as np
 
     rows = int(getattr(args, "calib_rows", 1024) or 1024)
-    return np.asarray(load_train(args).poses_2d)[:rows]
+    # slice on device BEFORE converting: np.asarray on the full array
+    # pulls the whole train split (44 MB at 327k rows) through the
+    # tunnel D2H when only `rows` calibration rows are needed
+    return np.asarray(load_train(args).poses_2d[:rows])
 
 
 def static_quant_lr(args, stacked):

@@ -173,9 +173,13 @@ phase_study () {
   python tools/selection_study.py \
     results/r5/gt_s42_left_right_curve.jsonl \
     results/r5/gt_s42_cap_left_right_curve.jsonl \
+    results/r5/gt_s42_packed_left_right_curve.jsonl \
+    results/r5/gt_s42_warm_left_right_curve.jsonl \
     results/r5/gt_s101_left_right_curve.jsonl \
     results/r5/gt_s102_left_right_curve.jsonl \
     results/r5/gt_s103_left_right_curve.jsonl \
+    results/r4/flip_gt_left_right_curve.jsonl \
+    results/r4/gt_left_right_curve.jsonl \
     | tee results/r5/selection_study.json
 }
 
