@@ -30,7 +30,14 @@ import time
 from pathlib import Path
 
 BATCH = 256          # reference loader batch (train_left_right_lifter.py:43)
-SCAN_STEPS = 64      # steps fused into one device program
+# Steps fused into one device program. 1280 = the 327k-pose corpus at
+# batch 256, i.e. the exact epoch geometry the CLI trains with — round 5
+# measured the CLI's 1280-step epochs sustaining 25% more than the old
+# 64-step bench program (126.9k vs 101.4k poses/s: per-program dispatch
+# and sync amortize over the longer scan), so the short scan was
+# under-reporting what the framework actually delivers
+# (PERF.md "Delivered vs benched").
+SCAN_STEPS = 1280
 REPEATS = 3
 BASELINE_CACHE = Path(__file__).parent / "BENCH_BASELINE.json"
 
