@@ -16,6 +16,98 @@ import traceback
 
 STAGES = ("1", "2", "3a", "3b", "4", "eval")
 
+# stage -> consumer-facing lifter artifacts a seed sweep must promote
+_SWEEP_ARTIFACTS = {"3a": ("lifter_left_right",),
+                    "3b": ("lifter_legs", "lifter_torso")}
+_SWEEP_CURVES = {"3a": "left_right_lifter.jsonl",
+                 "3b": "leg_torso_lifter.jsonl"}
+_FLOW_DIRS = ("full_flow", "flow_left", "flow_right", "flow_legs",
+              "flow_torso")
+
+
+def _forwarded_model_dir(flags) -> str:
+    out = "models"  # the stage CLIs' default (cli/_common.py)
+    for i, f in enumerate(flags):
+        # LAST occurrence wins, matching argparse (the seed sweep appends
+        # its per-seed override after the user's forwarded flags)
+        if f == "--model-dir" and i + 1 < len(flags):
+            out = flags[i + 1]
+        elif f.startswith("--model-dir="):
+            out = f.split("=", 1)[1]
+    return out
+
+
+def _best_extra(path):
+    """(epoch, metric_name, value) recorded in a ``<name>_best``
+    checkpoint's extra metadata, or None if the artifact is absent (a
+    fully-gated run under --select-by nll-tilt saves no best)."""
+    from links_tpu import ckpt
+
+    if not path.exists():
+        return None
+    extra = ckpt.restore_checkpoint(path).get("extra", {})
+    metric = next((k for k in extra if k != "epoch"), None)
+    if metric is None:
+        return None
+    return int(extra.get("epoch", -1)), metric, float(extra[metric])
+
+
+def _run_seed_sweep(stage, run_stage, flags, seeds):
+    """Train stage 3a/3b once per seed in ``<model-dir>/seed<k>/`` (flows
+    shared via symlink), then promote the winner's artifacts into the base
+    model dir for stages 4/eval (RESULTS.md round-5 selection study: basin
+    outcome is a seed lottery — 61.9/83.9/77.6/126.7 mm across four seeds
+    on the same corpus — and cross-run GT-free selection is impossible for
+    likelihood-preferred basins, so the production recipe is a multi-seed
+    sweep picked on the BestTracker's validation criterion; the reference
+    runs seeds by hand and eyeballs wandb)."""
+    import os
+    import shutil
+    from pathlib import Path
+
+    base = Path(_forwarded_model_dir(flags))
+    names = _SWEEP_ARTIFACTS[stage]
+    scored = []
+    for seed in seeds:
+        sdir = base / f"seed{seed}"
+        sdir.mkdir(parents=True, exist_ok=True)
+        for f in _FLOW_DIRS:
+            src, dst = base / f, sdir / f
+            if src.exists() and not dst.is_symlink() and not dst.exists():
+                os.symlink(src.resolve(), dst)
+        print(f"[pipeline] stage {stage} seed {seed} -> {sdir}")
+        run_stage(flags + ["--model-dir", str(sdir), "--seed", str(seed)])
+        got = _best_extra(sdir / f"{names[0]}_best")
+        if got is None:
+            print(f"[pipeline] stage {stage} seed {seed}: no best "
+                  f"checkpoint (selection gate vetoed every epoch); "
+                  f"disqualified", file=sys.stderr)
+            continue
+        epoch, metric, value = got
+        print(f"[pipeline] stage {stage} seed {seed}: best {metric}="
+              f"{value:.4f} @ epoch {epoch}")
+        scored.append((value, seed, sdir, metric))
+    if not scored:
+        print(f"[pipeline] stage {stage}: every seed disqualified",
+              file=sys.stderr)
+        sys.exit(1)
+    value, seed, sdir, metric = min(scored)
+    print(f"[pipeline] stage {stage}: seed {seed} wins "
+          f"({metric}={value:.4f}); promoting artifacts to {base}")
+    to_copy = [n for name in names for n in (name, f"{name}_best")]
+    to_copy.append(f"{'left_right' if stage == '3a' else 'leg_torso'}_run")
+    for name in to_copy:
+        src = sdir / name
+        if not src.exists():
+            continue
+        dst = base / name
+        if dst.exists():
+            shutil.rmtree(dst)
+        shutil.copytree(src, dst)
+    curve = sdir / _SWEEP_CURVES[stage]
+    if curve.exists():
+        shutil.copy2(curve, base / _SWEEP_CURVES[stage])
+
 
 def _stage_main(stage: str):
     if stage == "1":
@@ -44,6 +136,15 @@ def main(argv=None):
                              "checkpoint)")
     parser.add_argument("--stage-args", default="",
                         help="extra flags forwarded to every stage")
+    parser.add_argument("--lifter-seeds", default=None, metavar="S1,S2,..",
+                        help="train stages 3a/3b once per seed (in "
+                             "<model-dir>/seed<k>/, flows shared) and "
+                             "promote the winner by its BestTracker "
+                             "validation criterion — the multi-seed "
+                             "production recipe for this objective's "
+                             "basin lottery (RESULTS.md round-5 "
+                             "selection study). Stages 4/eval then "
+                             "consume the promoted winner")
     parser.add_argument("--eval-args", default="",
                         help="extra flags forwarded only to the eval stage "
                              "(e.g. '--json --occlusion')")
@@ -65,32 +166,43 @@ def main(argv=None):
 
     forwarded = passthrough + [a for a in args.stage_args.split() if a]
     eval_extra = [a for a in args.eval_args.split() if a]
+    seeds = ([int(s) for s in args.lifter_seeds.split(",") if s.strip()]
+             if args.lifter_seeds else None)
     for stage in stages:
         stage_main = _stage_main(stage)
-        attempts = args.retries + 1
-        for attempt in range(attempts):
-            flags = list(forwarded)
-            if args.use_best and stage in ("4", "eval"):
-                flags.append("--use-best")
-            if args.use_final and stage in ("4", "eval"):
-                flags.append("--use-final")
-            if stage == "eval":
-                flags += eval_extra
-            elif attempt > 0:
-                flags.append("--resume")
-            try:
-                print(f"[pipeline] stage {stage} (attempt {attempt + 1}/{attempts})")
-                stage_main(flags)
-                break
-            except KeyboardInterrupt:
-                raise
-            except Exception:
-                traceback.print_exc()
-                if attempt + 1 == attempts:
-                    print(f"[pipeline] stage {stage} failed after "
-                          f"{attempts} attempts", file=sys.stderr)
-                    sys.exit(1)
-                print(f"[pipeline] stage {stage} crashed; resuming")
+
+        def run_stage(flags, stage=stage, stage_main=stage_main):
+            attempts = args.retries + 1
+            for attempt in range(attempts):
+                f2 = list(flags)
+                if stage != "eval" and attempt > 0:
+                    f2.append("--resume")
+                try:
+                    print(f"[pipeline] stage {stage} "
+                          f"(attempt {attempt + 1}/{attempts})")
+                    stage_main(f2)
+                    return
+                except KeyboardInterrupt:
+                    raise
+                except Exception:
+                    traceback.print_exc()
+                    if attempt + 1 == attempts:
+                        print(f"[pipeline] stage {stage} failed after "
+                              f"{attempts} attempts", file=sys.stderr)
+                        sys.exit(1)
+                    print(f"[pipeline] stage {stage} crashed; resuming")
+
+        flags = list(forwarded)
+        if args.use_best and stage in ("4", "eval"):
+            flags.append("--use-best")
+        if args.use_final and stage in ("4", "eval"):
+            flags.append("--use-final")
+        if stage == "eval":
+            flags += eval_extra
+        if seeds and stage in ("3a", "3b"):
+            _run_seed_sweep(stage, run_stage, flags, seeds)
+        else:
+            run_stage(flags)
 
 
 if __name__ == "__main__":

@@ -69,3 +69,56 @@ def test_run_pipeline_use_best_routing(monkeypatch):
         assert "--use-best" not in seen[stage], stage
     for stage in ("4", "eval"):
         assert "--use-best" in seen[stage], stage
+
+
+def test_seed_sweep_promotes_winner(tmp_path, monkeypatch, capsys):
+    """--lifter-seeds: each seed trains in <model-dir>/seed<k>/, the
+    winner by the BestTracker's recorded validation metric is promoted
+    into the base model dir, and a gate-vetoed seed (no _best artifact)
+    is disqualified rather than crashing the sweep."""
+    import jax.numpy as jnp
+
+    from links_tpu import ckpt
+    from links_tpu.cli import run_pipeline
+
+    base = tmp_path / "models"
+    base.mkdir()
+    (base / "full_flow").mkdir()  # symlinked into each seed dir
+
+    def fake_stage(flags):
+        # mimic the stage CLI: write artifacts into --model-dir
+        mdir = run_pipeline._forwarded_model_dir(flags)
+        seed = int(flags[flags.index("--seed") + 1])
+        params = {"w": jnp.full((2,), float(seed))}
+        ckpt.save_checkpoint(f"{mdir}/lifter_left_right", params)
+        if seed == 7:
+            return  # gate vetoed every epoch: no _best saved
+        ckpt.save_checkpoint(f"{mdir}/lifter_left_right_best", params,
+                             extra={"epoch": seed, "pa_mean": 100.0 - seed})
+
+    monkeypatch.setattr(run_pipeline, "_stage_main", lambda s: fake_stage)
+    run_pipeline.main(["--stages", "3a", "--lifter-seeds", "3,7,5",
+                       "--model-dir", str(base)])
+    out = capsys.readouterr()
+    assert "seed 7: no best checkpoint" in out.err
+    # seed 5 has the lowest pa_mean (95.0) of the qualified seeds
+    assert "seed 5 wins" in out.out
+    for k in (3, 5, 7):
+        assert (base / f"seed{k}" / "full_flow").exists()  # shared flows
+    promoted = ckpt.restore_checkpoint(base / "lifter_left_right_best")
+    assert promoted["extra"]["epoch"] == 5
+    import numpy as np
+
+    np.testing.assert_allclose(np.asarray(promoted["state"]["w"]), 5.0)
+
+
+def test_seed_sweep_all_disqualified_exits(tmp_path, monkeypatch):
+    from links_tpu.cli import run_pipeline
+
+    def fake_stage(flags):
+        pass  # never writes a _best
+
+    monkeypatch.setattr(run_pipeline, "_stage_main", lambda s: fake_stage)
+    with pytest.raises(SystemExit):
+        run_pipeline.main(["--stages", "3a", "--lifter-seeds", "1,2",
+                           "--model-dir", str(tmp_path / "m")])
