@@ -388,6 +388,30 @@ def artifact(args, name: str) -> Path:
     return Path(args.model_dir) / name
 
 
+def clear_stage_artifacts(args, stage: str, names):
+    """Remove THIS stage's artifacts from a previous run before a fresh
+    (non ``--resume``) training run starts. Without this, an interrupted
+    retrain leaves a silently stale final/best/run checkpoint from the
+    earlier run that ``--use-final``/``--use-best`` consumers (or a
+    crash-retry's ``--resume``) would load as if it were this run's
+    (round-5 review finding). Only the stage's own artifacts are touched —
+    never the frozen inputs (flows for the lifter stages, lifters for
+    stage 4)."""
+    import shutil
+
+    if getattr(args, "resume", False):
+        return  # a resumed run legitimately extends the on-disk artifacts
+    doomed = [f"{stage}_run"]
+    for n in names:
+        doomed += [n, f"{n}_best", f"{n}_best.meta.json"]
+    for name in doomed:
+        path = artifact(args, name)
+        if path.is_dir():
+            shutil.rmtree(path)
+        elif path.exists():
+            path.unlink()
+
+
 def save_flow(args, name: str, flow: flows.Flow, async_save=False):
     ckpt.save_checkpoint(artifact(args, name), {"params": flow.params,
                                                 "perm": flow.perm},
@@ -557,12 +581,7 @@ class BestTracker:
                     params)
                 for name, params in artifacts.items()})
             return True
-        for name, params in artifacts.items():
-            ckpt.save_checkpoint(
-                artifact(args, f"{name}_best"), {"params": params},
-                extra={"epoch": epoch, self.metric: float(value)},
-                async_save=async_save,
-            )
+        self._write(args, epoch, float(value), artifacts, async_save)
         return True
 
     def flush(self, args, async_save=True):
@@ -571,12 +590,22 @@ class BestTracker:
             return
         epoch, value, arts = self._pending
         self._pending = None
-        for name, params in arts.items():
+        self._write(args, epoch, value, arts, async_save)
+
+    def _write(self, args, epoch, value, artifacts, async_save):
+        import json
+
+        for name, params in artifacts.items():
             ckpt.save_checkpoint(
                 artifact(args, f"{name}_best"), {"params": params},
                 extra={"epoch": epoch, self.metric: value},
                 async_save=async_save,
             )
+            # sidecar: consumers that only need the selection record (the
+            # pipeline's seed sweep) read this instead of restoring the
+            # full params tree from disk
+            artifact(args, f"{name}_best.meta.json").write_text(
+                json.dumps({"epoch": epoch, self.metric: value}))
 
 
 class EpochTimer:

@@ -38,14 +38,22 @@ def _forwarded_model_dir(flags) -> str:
 
 
 def _best_extra(path):
-    """(epoch, metric_name, value) recorded in a ``<name>_best``
-    checkpoint's extra metadata, or None if the artifact is absent (a
-    fully-gated run under --select-by nll-tilt saves no best)."""
+    """(epoch, metric_name, value) recorded for a ``<name>_best``
+    checkpoint, or None if the artifact is absent (a fully-gated run
+    under --select-by nll-tilt saves no best). Reads the BestTracker's
+    ``.meta.json`` sidecar when present — restoring the full params tree
+    just for two scalars costs ~100 MB of disk reads per seed."""
+    import json
+
     from links_tpu import ckpt
 
     if not path.exists():
         return None
-    extra = ckpt.restore_checkpoint(path).get("extra", {})
+    sidecar = path.with_name(path.name + ".meta.json")
+    if sidecar.exists():
+        extra = json.loads(sidecar.read_text())
+    else:  # pre-round-5 checkpoint: fall back to the full restore
+        extra = ckpt.restore_checkpoint(path).get("extra", {})
     metric = next((k for k in extra if k != "epoch"), None)
     if metric is None:
         return None
@@ -67,6 +75,23 @@ def _run_seed_sweep(stage, run_stage, flags, seeds):
 
     base = Path(_forwarded_model_dir(flags))
     names = _SWEEP_ARTIFACTS[stage]
+    if "--log" in flags or any(f.startswith("--log=") for f in flags):
+        # one shared log would interleave every seed's curve and break
+        # winner-curve promotion; each seed logs into its own dir instead
+        print("[pipeline] --lifter-seeds: dropping forwarded --log "
+              "(each seed writes <seed-dir>/" + _SWEEP_CURVES[stage] + ")",
+              file=sys.stderr)
+        drop = False
+        kept = []
+        for f in flags:
+            if drop:
+                drop = False
+                continue
+            if f == "--log":
+                drop = True
+            elif not f.startswith("--log="):
+                kept.append(f)
+        flags = kept
     scored = []
     for seed in seeds:
         sdir = base / f"seed{seed}"
@@ -76,7 +101,16 @@ def _run_seed_sweep(stage, run_stage, flags, seeds):
             if src.exists() and not dst.is_symlink() and not dst.exists():
                 os.symlink(src.resolve(), dst)
         print(f"[pipeline] stage {stage} seed {seed} -> {sdir}")
-        run_stage(flags + ["--model-dir", str(sdir), "--seed", str(seed)])
+        # fatal=False: a seed that crashes through every retry is
+        # disqualified like a gate-vetoed one — it must not discard the
+        # other seeds' completed training. Stale artifacts from an
+        # earlier sweep in the same dir are removed by the trainers
+        # themselves (cli/_common.clear_stage_artifacts).
+        if not run_stage(flags + ["--model-dir", str(sdir),
+                                  "--seed", str(seed)], fatal=False):
+            print(f"[pipeline] stage {stage} seed {seed}: crashed through "
+                  f"every retry; disqualified", file=sys.stderr)
+            continue
         got = _best_extra(sdir / f"{names[0]}_best")
         if got is None:
             print(f"[pipeline] stage {stage} seed {seed}: no best "
@@ -171,7 +205,7 @@ def main(argv=None):
     for stage in stages:
         stage_main = _stage_main(stage)
 
-        def run_stage(flags, stage=stage, stage_main=stage_main):
+        def run_stage(flags, fatal=True, stage=stage, stage_main=stage_main):
             attempts = args.retries + 1
             for attempt in range(attempts):
                 f2 = list(flags)
@@ -181,7 +215,7 @@ def main(argv=None):
                     print(f"[pipeline] stage {stage} "
                           f"(attempt {attempt + 1}/{attempts})")
                     stage_main(f2)
-                    return
+                    return True
                 except KeyboardInterrupt:
                     raise
                 except Exception:
@@ -189,7 +223,9 @@ def main(argv=None):
                     if attempt + 1 == attempts:
                         print(f"[pipeline] stage {stage} failed after "
                               f"{attempts} attempts", file=sys.stderr)
-                        sys.exit(1)
+                        if fatal:
+                            sys.exit(1)
+                        return False
                     print(f"[pipeline] stage {stage} crashed; resuming")
 
         flags = list(forwarded)

@@ -45,6 +45,7 @@ def main(argv=None):
     steps_per_epoch = n_train // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
     state = init_state(flow.params, optimizer)
+    C.clear_stage_artifacts(args, "full_flow", [C.FULL_FLOW])
     state, key, start_epoch = C.maybe_resume(args, "full_flow", state, key)
     if start_epoch and C.artifact(args, C.FULL_FLOW).exists():
         # The SO(D) mixing perms are seed-derived, not in the run

@@ -149,13 +149,16 @@ def main(argv=None):
     frozen_v = parallel.replicate(frozen, mesh)
     bone_means_v = (None if bone_means is None
                     else parallel.replicate(bone_means, mesh))
+    C.clear_stage_artifacts(args, "left_right", [C.LIFTER_LR])
     state, key, start_epoch = C.maybe_resume(args, "left_right", state, key)
     best = C.BestTracker(C.select_metric(args, "pa_mean"),
                          gate_metric=C.select_gate(args), deferred=True)
     guard = C.FlipGuard(args.flip_guard)
-    # fixed key: the unsupervised validation criterion must be comparable
-    # across epochs, so its rotation draw never changes
-    val_key = jax.random.PRNGKey(args.seed + 20_000)
+    # fixed SEED-INDEPENDENT key: the unsupervised validation criterion
+    # must be comparable across epochs AND across seeds — the pipeline's
+    # --lifter-seeds sweep picks a winner on it (deriving it from --seed
+    # would attribute rotation-draw noise to model quality)
+    val_key = jax.random.PRNGKey(20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
         # first --save-every boundary leaves start_epoch=0 but a valid

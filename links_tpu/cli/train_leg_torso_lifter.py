@@ -121,11 +121,14 @@ def main(argv=None):
     frozen_v = parallel.replicate(frozen, mesh)
     bone_means_v = (None if bone_means is None
                     else parallel.replicate(bone_means, mesh))
+    C.clear_stage_artifacts(args, "leg_torso",
+                            [C.LIFTER_LEGS, C.LIFTER_TORSO])
     state, key, start_epoch = C.maybe_resume(args, "leg_torso", state, key)
     best = C.BestTracker(C.select_metric(args, "pa"),
                          gate_metric=C.select_gate(args), deferred=True)
     guard = C.FlipGuard(args.flip_guard)
-    val_key = jax.random.PRNGKey(args.seed + 20_000)
+    # seed-independent: cross-seed comparable (see the stage-3a twin)
+    val_key = jax.random.PRNGKey(20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
         # first --save-every boundary leaves start_epoch=0 but a valid

@@ -120,12 +120,13 @@ def main(argv=None):
         args, cfg, step, train_data, packed,
         test_data.poses_2d, test_data.poses_3d,
     )
+    C.clear_stage_artifacts(args, "occlusion", [C.OCCLUSION])
     state, key, start_epoch = C.maybe_resume(args, "occlusion", state, key)
     best = C.BestTracker("val_mse" if args.select_by == "mse"
                          else "pa_scenario_mean", deferred=True)
-    # fixed key: the MSE criterion's rotation draw must be comparable
-    # across epochs (same rule as the lifter trainers' val_key)
-    val_key = jax.random.PRNGKey(args.seed + 20_000)
+    # fixed SEED-INDEPENDENT key: the MSE criterion's rotation draw must
+    # be comparable across epochs and seeds (same rule as the lifters)
+    val_key = jax.random.PRNGKey(20_000)
     if args.resume:
         # unconditional on the run checkpoint existing: a crash before the
         # first --save-every boundary leaves start_epoch=0 but a valid

@@ -54,6 +54,7 @@ def main(argv=None):
     steps_per_epoch = n_train // cfg.batch_size
     optimizer = make_optimizer(cfg.optim, steps_per_epoch)
     state = init_state(params, optimizer)
+    C.clear_stage_artifacts(args, "part_flows", list(_NAMES.values()))
     state, key, start_epoch = C.maybe_resume(args, "part_flows", state, key)
     if start_epoch:
         # seed-derived SO(D) perms are not in the run checkpoint; a resumed
