@@ -178,6 +178,8 @@ phase_study () {
     results/r5/gt_s101_left_right_curve.jsonl \
     results/r5/gt_s102_left_right_curve.jsonl \
     results/r5/gt_s103_left_right_curve.jsonl \
+    results/r5/gt_s42_leg_torso_curve.jsonl \
+    results/r5/gt_s42_f32_leg_torso_curve.jsonl \
     results/r4/flip_gt_left_right_curve.jsonl \
     results/r4/gt_left_right_curve.jsonl \
     | tee results/r5/selection_study.json
